@@ -1,0 +1,12 @@
+"""Host video / image-sequence IO (replaces LSMASHSource + frame export)."""
+
+from .video import (  # noqa: F401
+    read_video,
+    write_video,
+    read_image,
+    write_image,
+    export_reference_frames,
+    read_reference_dir,
+    ref_frame_name,
+    parse_ref_num,
+)

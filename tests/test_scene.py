@@ -1,0 +1,118 @@
+"""Scene detection: synthetic-clip oracles for the host state machine."""
+import numpy as np
+import pytest
+
+from havc_tpu.scene import SceneDetector, SceneFlags, scene_detect
+from havc_tpu.scene.detect import _hellinger, _ssim_uniform, frame_stats
+
+
+def make_clip(segments, h=48, w=64, noise=0.01, seed=0):
+    """Build a clip from (length, base_gray) segments with tiny noise."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    for length, base in segments:
+        for _ in range(length):
+            f = np.full((h, w, 3), base, np.float32)
+            f += rng.normal(0, noise, f.shape).astype(np.float32)
+            frames.append(np.clip(f, 0, 1))
+    return np.stack(frames)
+
+
+def test_frequency_only():
+    flags = SceneFlags.every(10, freq=3)
+    assert list(np.nonzero(flags.sc_prev)[0]) == [0, 3, 6, 9]
+
+
+def test_from_frame_list():
+    flags = SceneFlags.from_frame_list(10, [0, 4, 7])
+    assert list(np.nonzero(flags.sc_prev)[0]) == [0, 4, 7]
+    assert flags.sc_next[4] == 1
+
+
+def test_detects_hard_cut():
+    clip = make_clip([(8, 0.3), (8, 0.6)])
+    flags = scene_detect(clip, threshold=0.10)
+    assert flags.sc_prev[0] == 1
+    assert flags.sc_prev[8] == 1
+    # no spurious cuts inside segments
+    assert flags.sc_prev[1:8].sum() == 0
+    assert flags.sc_prev[9:].sum() == 0
+
+
+def test_luma_gate_blocks_black_frames():
+    # cut into a nearly-black segment: luma gate (tht_black=0.10) rejects it
+    clip = make_clip([(8, 0.4), (8, 0.02)])
+    flags = scene_detect(clip, threshold=0.10)
+    assert flags.sc_prev[8] == 0
+
+
+def test_frequency_forcing():
+    clip = make_clip([(20, 0.4)])
+    flags = scene_detect(clip, threshold=0.01, frequency=5, sc_tht_filter=0.0,
+                         tht_offset=2)
+    forced = np.nonzero(flags.sc_prev)[0]
+    assert 0 in forced
+    # every 5th frame forced (custom detector path)
+    for n in (5, 10, 15):
+        assert n in forced
+
+
+def test_min_length_suppresses_bursts():
+    # rapid alternation; min_length keeps detections sparse
+    segs = [(2, 0.3), (2, 0.6)] * 6
+    clip = make_clip(segs)
+    flags = scene_detect(clip, threshold=0.05, sc_tht_filter=1.0, min_length=6)
+    idx = np.nonzero(flags.sc_prev)[0]
+    assert len(idx) >= 1
+    assert (np.diff(idx) >= 6).all()
+
+
+def test_ssim_filter_rejects_similar():
+    # slow brightness drift triggers raw diffs but SSIM filter rejects
+    rng = np.random.default_rng(3)
+    base = rng.random((48, 64, 3), dtype=np.float32) * 0.3 + 0.3
+    frames = np.stack([np.clip(base + 0.01 * i, 0, 1) for i in range(10)])
+    flags = scene_detect(frames, threshold=0.005, sc_tht_filter=0.55)
+    assert flags.sc_prev[0] == 1
+    assert flags.sc_prev[1:].sum() == 0
+
+
+def test_stats_shapes():
+    clip = make_clip([(5, 0.5)])
+    grays, lumas, diffs, hists = frame_stats(clip)
+    assert grays.shape[0] == 5
+    assert lumas.shape == (5,) and diffs.shape == (5,)
+    assert hists.shape == (5, 256)
+    assert abs(lumas[0] - 0.5) < 0.02
+
+
+def test_ssim_identical_is_one():
+    rng = np.random.default_rng(4)
+    a = rng.random((32, 32))
+    assert _ssim_uniform(a, a) > 0.999
+
+
+def test_ssim_noise_low():
+    rng = np.random.default_rng(5)
+    a = rng.random((32, 32))
+    b = rng.random((32, 32))
+    assert _ssim_uniform(a, b) < 0.3
+
+
+def test_hellinger_bounds():
+    h1 = np.zeros(256)
+    h1[10] = 1.0
+    h2 = np.zeros(256)
+    h2[200] = 1.0
+    assert _hellinger(h1, h1) < 1e-6
+    assert _hellinger(h1, h2) > 0.9
+
+
+def test_hellinger_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(6)
+    h1 = rng.random(256).astype(np.float32)
+    h2 = rng.random(256).astype(np.float32)
+    ref = cv2.compareHist(h1, h2, cv2.HISTCMP_HELLINGER)
+    assert abs(_hellinger(h1, h2) - ref) < 1e-4
