@@ -1,7 +1,720 @@
-"""Public HAVC_* API surface (grows as components land).
+"""Public HAVC_* API — mirror of the reference's vsdeoldify/__init__.py
+entry points, operating on :class:`havc_tpu.clip.Clip`.
 
-Mirrors the reference's vsdeoldify/__init__.py entry points; implemented on
-the Clip abstraction.
+Implemented against the reference's semantics with file:line citations on
+each function.  Parameter names, packs, and defaults match the reference so
+a vs-deoldify user can port scripts directly.
 """
+from __future__ import annotations
 
-__all__: list = []
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import engines, filters, presets
+from .utils import cached_jit
+from .clip import Clip, from_frames
+from .ops import chroma as chroma_ops
+from .ops import equalize, lut3d
+from .ops import merge as merge_ops
+from .ops import retinex as retinex_ops
+from .ops import temporal as temporal_ops
+from .ops import tiles as tiles_ops
+from .ops.resize import resize
+from .scene.detect import SceneDetector, SceneFlags, scene_detect
+
+__all__ = [
+    "HAVC_main",
+    "HAVC_main_presets",
+    "HAVC_main_colorizer",
+    "HAVC_colorizer",
+    "HAVC_stabilizer",
+    "HAVC_merge",
+    "HAVC_bw_tune",
+    "HAVC_auto_levels",
+    "HAVC_retinex",
+    "HAVC_rgb_denoise",
+    "HAVC_adjust_rgb",
+    "HAVC_tweak",
+    "HAVC_TimeCube",
+    "HAVC_SceneDetect",
+    "HAVC_extract_reference_frames",
+    "HAVC_export_reference_frames",
+    "HAVC_clip_slice",
+    "HAVC_clip_reconstruct",
+    "HAVC_recover_clip_color",
+    "HAVC_set_debug_level",
+    "DEF_TWEAK_p",
+]
+
+from .ops.merge import DEF_ALM_p, DEF_CMC_p, DEF_CRT_p, DEF_LMM_p
+
+DEF_TWEAK_p = engines.DEF_TWEAK_p
+
+_DEBUG_LEVEL = [0]
+
+
+def HAVC_set_debug_level(level: int = 0):
+    """Mirror of HAVC_set_debug_level (__init__.py:3440)."""
+    _DEBUG_LEVEL[0] = level
+
+
+def _batched(clip: Clip, fn, batch_size: int = 8) -> Clip:
+    return clip.map_batches(fn, batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------
+# HAVC_colorizer — the core colorize step (__init__.py:2290-2523)
+# --------------------------------------------------------------------------
+
+
+def HAVC_colorizer(
+    clip: Clip,
+    method: int = 2,
+    mweight: float = 0.4,
+    deoldify_p=(0, 24, 1.0, 0.0),
+    ddcolor_p=(1, 24, 1.0, 0.0, True),
+    ddtweak=(False, False, False),
+    ddtweak_p=(DEF_TWEAK_p, "300:360|0.8,0.1"),
+    cmc_p=DEF_CMC_p,
+    lmm_p=DEF_LMM_p,
+    alm_p=DEF_ALM_p,
+    crt_p=DEF_CRT_p,
+    cmb_sw: bool = False,
+    sc_threshold: float = 0.0,
+    sc_tht_offset: int = 1,
+    sc_min_freq: int = 0,
+    sc_tht_ssim: float = 0.0,
+    sc_normalize: bool = False,
+    sc_min_int: int = 1,
+    sc_tht_white: float = 0.70,
+    sc_tht_black: float = 0.10,
+    batch_size: int = 8,
+) -> Clip:
+    """Colorize using DeOldify and/or DDColor and combine (method 0-7).
+
+    Mirror of HAVC_colorizer (__init__.py:2290-2523): optional scene
+    detection (sets reference-frame flags), Spline64 square resize to
+    ``max(rf)*16``, both engines, merge dispatch, chroma-resize restore.
+    """
+    if sc_threshold < 0:
+        raise ValueError("HAVC_colorizer: sc_threshold must be >= 0")
+    if sc_min_freq < 0:
+        raise ValueError("HAVC_colorizer: sc_min_freq must be >= 0")
+
+    if method == 0:
+        merge_weight = 0.0
+    elif method == 1:
+        merge_weight = 1.0
+    else:
+        merge_weight = mweight
+    if merge_weight == 0.0:
+        method = 0
+    elif merge_weight == 1.0:
+        method = 1
+
+    do_model, do_rf, do_sat, do_hue = deoldify_p[:4]
+    dd_model, dd_rf, dd_sat, dd_hue = ddcolor_p[:4]
+
+    if dd_rf != 0 and dd_rf not in range(10, 65):
+        raise ValueError("HAVC_colorizer: ddcolor render_factor must be between: 10-64")
+    if dd_rf == 0:
+        dd_rf = min(max(math.trunc(0.4 * clip.width / 16), 16), 32)
+
+    scenechange = not (sc_threshold == 0 and sc_min_freq == 0)
+    if scenechange:
+        flags = scene_detect(
+            np.asarray(clip.frames),
+            threshold=sc_threshold,
+            frequency=sc_min_freq,
+            sc_tht_filter=sc_tht_ssim,
+            min_length=sc_min_int,
+            tht_white=sc_tht_white,
+            tht_black=sc_tht_black,
+            tht_offset=sc_tht_offset,
+        )
+        clip = clip.with_sc(flags)
+
+    frame_size = min(max(dd_rf, do_rf) * 16, clip.width)
+    clip_orig = clip
+    work = _batched(
+        clip, lambda x: resize(x, frame_size, frame_size, "spline64"), batch_size
+    )
+
+    sc_prev = clip.sc.sc_prev if (scenechange and clip.sc is not None) else None
+
+    clipa_frames = clipb_frames = None
+    if method != 1:
+        clipa_frames = engines.colorize_gated(
+            work.frames, sc_prev,
+            lambda x: engines.deoldify_frames(x, model=do_model, render_factor=do_rf),
+            batch_size,
+            jit_key=("deoldify", do_model, do_rf, frame_size, batch_size),
+        )
+    if method != 0:
+        clipb_frames = engines.colorize_gated(
+            work.frames, sc_prev,
+            lambda x: engines.ddcolor_frames(
+                x, model=dd_model, render_factor=dd_rf,
+                tweaks_flags=ddtweak, tweaks=ddtweak_p,
+            ),
+            batch_size,
+            jit_key=("ddcolor", dd_model, dd_rf, tuple(ddtweak),
+                     str(ddtweak_p), frame_size, batch_size),
+        )
+
+    if method in (0, 1):
+        combined = clipa_frames if method == 0 else clipb_frames
+        # per-engine sat/hue tweak still applies (mcomb.py:161-169)
+        sat = do_sat if method == 0 else dd_sat
+        hue = do_hue if method == 0 else dd_hue
+        if sat != 1 or hue != 0:
+            tw = cached_jit(
+                ("single_tweak", hue, sat),
+                lambda: lambda x: chroma_ops.tweak(x, hue=hue, sat=sat),
+            )
+            combined = np.asarray(tw(jnp.asarray(combined)))
+    else:
+        fn = cached_jit(
+            ("combine", method, do_sat, dd_sat, do_hue, dd_hue, merge_weight,
+             tuple(cmc_p), tuple(lmm_p), tuple(alm_p), tuple(crt_p), cmb_sw),
+            lambda: lambda a, b: merge_ops.combine_models(
+                a, b, method=method, sat=(do_sat, dd_sat), hue=(do_hue, dd_hue),
+                b_weight=merge_weight, cmc_p=cmc_p, lmm_p=lmm_p, alm_p=alm_p,
+                crt_p=crt_p, invert_clips=cmb_sw,
+            ),
+        )
+        combined = np.asarray(fn(jnp.asarray(clipa_frames), jnp.asarray(clipb_frames)))
+
+    colored = work.with_frames(combined)
+    restored = _chroma_resize_clip(clip_orig, colored, batch_size)
+    return restored
+
+
+def _chroma_resize_clip(hires: Clip, lowres: Clip, batch_size: int = 8) -> Clip:
+    """_clip_chroma_resize analog (__init__.py:3545-3560)."""
+    T = hires.num_frames
+    outs = []
+    fn = cached_jit(("chroma_resize_restore",), lambda: filters.chroma_resize_restore)
+    for s in range(0, T, batch_size):
+        hi = jnp.asarray(np.asarray(hires.frames[s : s + batch_size]))
+        lo = jnp.asarray(np.asarray(lowres.frames[s : s + batch_size]))
+        n = hi.shape[0]
+        if n < batch_size:
+            hi = jnp.concatenate([hi, jnp.repeat(hi[-1:], batch_size - n, 0)])
+            lo = jnp.concatenate([lo, jnp.repeat(lo[-1:], batch_size - n, 0)])
+        outs.append(np.asarray(fn(hi, lo))[:n])
+    return hires.with_frames(np.concatenate(outs)).copy_sc_from(lowres)
+
+
+# --------------------------------------------------------------------------
+# HAVC_stabilizer — post chain (__init__.py:2748-2873)
+# --------------------------------------------------------------------------
+
+
+def HAVC_stabilizer(
+    clip: Clip,
+    dark: bool = False,
+    dark_p=(0.2, 0.8),
+    smooth: bool = False,
+    smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
+    colormap: str = "none",
+    colormap_p: str = "none",
+    stab: bool = False,
+    stab_p=(5, "A", 1, 15, 0.2, 0.15),
+    deflicker: bool = True,
+    render_factor: int = 24,
+    batch_size: int = 8,
+) -> Clip:
+    """Post-process chain: dark tweak -> chroma smoothing -> colormap ->
+    temporal chroma stabilization -> deflicker, run at chroma resolution
+    with full-res luma restored (HAVC_stabilizer, __init__.py:2748-2873)."""
+    if render_factor != 0 and render_factor not in range(16, 65):
+        raise ValueError("HAVC_stabilizer: render_factor must be between: 16-64")
+    if render_factor == 0:
+        render_factor = min(max(math.trunc(0.4 * clip.width / 16), 16), 32)
+
+    clip_orig = clip
+    frame_size = min(render_factor * 16, clip.width)
+    work = _batched(
+        clip, lambda x: resize(x, frame_size, frame_size, "spline64"), batch_size
+    )
+
+    dark_hue_adjust = dark_p[2] if len(dark_p) > 2 else "none"
+    chroma_adjust = smooth_p[4] if len(smooth_p) > 4 else "none"
+
+    x = work
+    if dark:
+        x = _batched(
+            x,
+            lambda f: filters.dark_tweak(
+                f, dark_threshold=dark_p[0], dark_amount=dark_p[1],
+                dark_hue_adjust=dark_hue_adjust.lower(),
+            ),
+            batch_size,
+        )
+    if smooth:
+        x = _batched(
+            x,
+            lambda f: filters.chroma_bright_tweak(
+                f, black_threshold=smooth_p[0], white_threshold=smooth_p[1],
+                dark_sat=smooth_p[2], dark_bright=-smooth_p[3],
+                chroma_adjust=chroma_adjust.lower(),
+            ),
+            batch_size,
+        )
+    cmap = (colormap or "none").lower()
+    if cmap not in ("none", ""):
+        cmap_adjust = presets.get_colormap(cmap, "light") if "->" in cmap else cmap
+        x = _batched(
+            x, lambda f: filters.colormap_filter(f, cmap_adjust), batch_size
+        )
+    if stab:
+        nframes, mode, sat, tht, weight, tht_scen = stab_p[:6]
+        sc = x.sc.sc_prev if x.sc is not None else None
+        frames = jnp.asarray(np.asarray(x.frames))
+        stab_fn = cached_jit(
+            ("stab", nframes, str(mode), sat, tht),
+            lambda: lambda f, s: temporal_ops.chroma_stabilizer(
+                f, nframes=nframes, weighted=(str(mode).upper() == "W"),
+                scenechange=s, sat=sat, tht=tht,
+            ),
+        )
+        scv = jnp.asarray((sc if sc is not None else np.zeros(len(x), np.int8)).astype(np.int32))
+        stabilized = np.asarray(stab_fn(frames, scv))
+        if weight > 0:
+            stabilized = np.asarray(frames) * weight + stabilized * (1 - weight)
+        x = x.with_frames(stabilized)
+        if deflicker:
+            defl = cached_jit(
+                ("deflicker",),
+                lambda: lambda f, s: temporal_ops.reduce_flicker(f, scenechange=s),
+            )
+            x = x.with_frames(np.asarray(defl(jnp.asarray(x.frames), scv)))
+
+    return _chroma_resize_clip(clip_orig, x, batch_size)
+
+
+# --------------------------------------------------------------------------
+# merge / tune / misc public utilities
+# --------------------------------------------------------------------------
+
+
+def HAVC_merge(
+    clipa: Clip,
+    clipb: Clip,
+    method: int = 2,
+    mweight: float = 0.5,
+    cmc_p=DEF_CMC_p,
+    lmm_p=DEF_LMM_p,
+    alm_p=DEF_ALM_p,
+    crt_p=DEF_CRT_p,
+    cmb_sw: bool = False,
+    batch_size: int = 8,
+) -> Clip:
+    """Public combine wrapper (HAVC_merge, __init__.py:2536-2675)."""
+    fn = cached_jit(
+        ("merge", method, mweight, tuple(cmc_p), tuple(lmm_p), tuple(alm_p),
+         tuple(crt_p), cmb_sw),
+        lambda: lambda a, b: merge_ops.combine_models(
+            a, b, method=method, b_weight=mweight, cmc_p=cmc_p, lmm_p=lmm_p,
+            alm_p=alm_p, crt_p=crt_p, invert_clips=cmb_sw,
+        ),
+    )
+    T = clipa.num_frames
+    outs = []
+    for s in range(0, T, batch_size):
+        a = jnp.asarray(np.asarray(clipa.frames[s : s + batch_size]))
+        b = jnp.asarray(np.asarray(clipb.frames[s : s + batch_size]))
+        n = a.shape[0]
+        if n < batch_size:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], batch_size - n, 0)])
+            b = jnp.concatenate([b, jnp.repeat(b[-1:], batch_size - n, 0)])
+        outs.append(np.asarray(fn(a, b))[:n])
+    return clipa.with_frames(np.concatenate(outs))
+
+
+def HAVC_bw_tune(
+    clip: Clip,
+    bw_tune: str = "none",
+    method: int = 0,
+    luma_blend: bool = True,
+    batch_size: int = 8,
+) -> Clip:
+    """B&W contrast/luminosity restoration (HAVC_bw_tune, __init__.py:1266;
+    strength table from vs_auto_levels, havc_utils.py:812-814)."""
+    tn_id = presets.get_tune_id(bw_tune)
+    if tn_id == 0:
+        return clip
+    strength = [0.0, 0.98, 0.99, 1.0][tn_id]
+    return _batched(
+        clip,
+        lambda x: equalize.rgb_equalizer(
+            x, method=method, strength=strength, luma_blend_on=luma_blend
+        ),
+        batch_size,
+    )
+
+
+def HAVC_auto_levels(
+    clip: Clip, mode: str = "Medium", method: int = 5, luma_blend: bool = True,
+    batch_size: int = 8,
+) -> Clip:
+    """vs_auto_levels analog (havc_utils.py:785-833)."""
+    return HAVC_bw_tune(clip, mode, method, luma_blend, batch_size)
+
+
+def HAVC_retinex(clip: Clip, strength: float = 1.0, batch_size: int = 4) -> Clip:
+    """Multi-scale retinex on luma (HAVC_retinex / vs_retinex)."""
+    return _batched(
+        clip,
+        lambda x: x * (1 - strength) + retinex_ops.msr_luma(x) * strength,
+        batch_size,
+    )
+
+
+def HAVC_rgb_denoise(clip: Clip, batch_size: int = 8) -> Clip:
+    """rgb_denoise analog (havc_utils.py:752-773)."""
+    return _batched(
+        clip,
+        lambda x: equalize.rgb_equalizer(
+            equalize.rgb_balance(x, strength=0.3, rgb_factor=(0.98, 1.02, 1.0)),
+            method=0, strength=0.2, luma_blend_on=False,
+        ),
+        batch_size,
+    )
+
+
+def HAVC_adjust_rgb(
+    clip: Clip, factor=(1.0, 1.0, 1.0), bias=(0, 0, 0), gamma=(1.0, 1.0, 1.0),
+    batch_size: int = 8,
+) -> Clip:
+    """Per-channel gain/bias/gamma (havc_utils.adjust_rgb:664-749)."""
+    return _batched(
+        clip, lambda x: equalize.adjust_rgb(x, factor, bias, gamma), batch_size
+    )
+
+
+def HAVC_tweak(
+    clip: Clip, hue: float = 0, sat: float = 1, bright: float = 0,
+    cont: float = 1, gamma: float = 1, batch_size: int = 8,
+) -> Clip:
+    """vs_tweak analog (vsfilters.py:753-850)."""
+    return _batched(
+        clip,
+        lambda x: chroma_ops.tweak(x, hue=hue, sat=sat, bright=bright, cont=cont, gamma=gamma),
+        batch_size,
+    )
+
+
+def HAVC_TimeCube(clip: Clip, lut: int | str = 0, batch_size: int = 8) -> Clip:
+    """3D-LUT film look (HAVC_TimeCube, __init__.py:2995-3026): built-in
+    look id/name or a path to a user .cube file; per-LUT tweak applied."""
+    if isinstance(lut, str) and lut.endswith(".cube"):
+        table = lut3d.load_cube(lut)
+        tweaks = None
+    else:
+        table = lut3d.make_look_lut(lut)
+        lut_id = lut if isinstance(lut, int) else lut3d.LUT_NAMES.index(lut)
+        tweaks = lut3d.LUT_TWEAKS.get(lut_id)
+    tbl = jnp.asarray(table)
+
+    def apply(x):
+        out = lut3d.apply_lut3d(x, tbl)
+        if tweaks is not None:
+            bright, cont, gamma, sat = tweaks
+            out = chroma_ops.tweak(out, sat=sat, bright=bright, cont=cont, gamma=gamma)
+        return out
+
+    return _batched(clip, apply, batch_size)
+
+
+def HAVC_SceneDetect(
+    clip: Clip,
+    sc_threshold: float = 0.10,
+    sc_tht_offset: int = 1,
+    sc_tht_ssim: float = 0.0,
+    sc_min_int: int = 1,
+    sc_min_freq: int = 0,
+    sc_normalize: bool = False,
+    sc_tht_white: float = 0.70,
+    sc_tht_black: float = 0.10,
+) -> Clip:
+    """Scene detection front-end (HAVC_SceneDetect, __init__.py:3191)."""
+    flags = scene_detect(
+        np.asarray(clip.frames),
+        threshold=sc_threshold,
+        frequency=sc_min_freq,
+        sc_tht_filter=sc_tht_ssim,
+        min_length=sc_min_int,
+        tht_white=sc_tht_white,
+        tht_black=sc_tht_black,
+        tht_offset=sc_tht_offset,
+    )
+    return clip.with_sc(flags)
+
+
+def HAVC_extract_reference_frames(
+    clip: Clip, sc_framedir: str, **detect_kwargs
+) -> list:
+    """Detect scenes + export ref_nnnnnn frames (__init__.py:3241)."""
+    from .io import export_reference_frames
+
+    clip = HAVC_SceneDetect(clip, **detect_kwargs)
+    return export_reference_frames(clip, sc_framedir)
+
+
+def HAVC_export_reference_frames(clip: Clip, sc_framedir: str) -> list:
+    """Export frames already flagged on the clip (__init__.py:3311)."""
+    from .io import export_reference_frames
+
+    return export_reference_frames(clip, sc_framedir)
+
+
+def HAVC_clip_slice(clip: Clip, rows: int = 2, cols: int = 2, overlap: int = 64):
+    """Overlapping tile slice (HAVC_clip_slice, __init__.py:2886)."""
+    tiles, meta = tiles_ops.slice_tiles(
+        jnp.asarray(np.asarray(clip.frames)), rows, cols, overlap
+    )
+    return from_frames(np.asarray(tiles), fps=clip.fps), meta
+
+
+def HAVC_clip_reconstruct(
+    clip: Clip, tiles_clip: Clip, meta: dict, recover_luma: bool = True
+) -> Clip:
+    """Tile blend-reconstruction (HAVC_clip_reconstruct, __init__.py:2916)."""
+    rec = tiles_ops.reconstruct_tiles(
+        jnp.asarray(np.asarray(tiles_clip.frames)),
+        meta,
+        recover_luma=jnp.asarray(np.asarray(clip.frames)) if recover_luma else None,
+    )
+    return clip.with_frames(np.asarray(rec))
+
+
+def HAVC_recover_clip_color(
+    clip: Clip,
+    clip_color: Clip,
+    sat: float = 0.8,
+    tht: int = 30,
+    weight: float = 0.0,
+    alpha: float = 2.0,
+    chroma_resize: bool = True,
+    binary_mask: bool = False,
+    algo: int = 0,
+    batch_size: int = 8,
+) -> Clip:
+    """Restore gray-pixel colors from a donor clip (HAVC_recover_clip_color,
+    __init__.py:2956-2992 -> ChromaRetentionMerge machinery)."""
+    fn = cached_jit(
+        ("recover_color", sat, tht, weight, alpha, chroma_resize, binary_mask, algo),
+        lambda: lambda a, b: merge_ops.chroma_retention_merge(
+            a, b, sat=sat, tht=tht, b_weight=1.0, alpha=alpha,
+            mask_weight=weight, chroma_resize=chroma_resize,
+            binary_mask=binary_mask, algo=algo,
+        ),
+    )
+    T = clip.num_frames
+    outs = []
+    for s in range(0, T, batch_size):
+        a = jnp.asarray(np.asarray(clip.frames[s : s + batch_size]))
+        b = jnp.asarray(np.asarray(clip_color.frames[s : s + batch_size]))
+        n = a.shape[0]
+        if n < batch_size:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], batch_size - n, 0)])
+            b = jnp.concatenate([b, jnp.repeat(b[-1:], batch_size - n, 0)])
+        outs.append(np.asarray(fn(a, b))[:n])
+    return clip.with_frames(np.concatenate(outs))
+
+
+# --------------------------------------------------------------------------
+# HAVC_main / presets pipeline (__init__.py:101-912)
+# --------------------------------------------------------------------------
+
+
+def HAVC_main_colorizer(
+    clip: Clip,
+    color_model: str = "video+artistic",
+    comb_method: str = "constrained-chroma",
+    video_tune: str = "balanced",
+    color_fix: str = "violet/red",
+    color_tune: str = "light",
+    color_map: str = "none",
+    deoldify_rf: int = 24,
+    ddcolor_rf: int = 24,
+    enable_stabilizer: bool = True,
+    sc_threshold: float = 0.0,
+    sc_min_freq: int = 0,
+    batch_size: int = 8,
+) -> Clip:
+    """Classic colorization pipeline (HAVC_main_colorizer,
+    __init__.py:535-912, non-exemplar path): resolves the preset knobs,
+    runs HAVC_colorizer, then the stabilizer chain."""
+    do_model, dd_model, dd_method = presets.get_color_model(color_model)
+    mweight = presets.get_mweight(video_tune)
+    method = presets.get_comb_method(comb_method)
+    dd_tweak, hue_range, hue_range2, chroma_adjust, chroma_adjust2 = (
+        presets.get_color_tune(color_tune, color_fix, color_map, dd_model)
+    )
+
+    if dd_method == 0:  # deoldify only
+        method = 0
+    elif dd_method == 1:  # ddcolor/zhang only
+        method = 1
+
+    colored = HAVC_colorizer(
+        clip,
+        method=method,
+        mweight=mweight,
+        deoldify_p=(do_model, deoldify_rf, 1.0, 0.0),
+        ddcolor_p=(dd_model, ddcolor_rf, 1.0, 0.0, True),
+        ddtweak=tuple(dd_tweak),
+        ddtweak_p=(DEF_TWEAK_p, hue_range),
+        sc_threshold=sc_threshold,
+        sc_min_freq=sc_min_freq,
+        batch_size=batch_size,
+    )
+
+    if enable_stabilizer:
+        colored = HAVC_stabilizer(
+            colored,
+            dark=True,
+            dark_p=(0.2, 0.8),
+            smooth=True,
+            smooth_p=(0.3, 0.7, 0.9, 0.0, hue_range2),
+            colormap=chroma_adjust2,
+            stab=True,
+            stab_p=(5, "A", 1, 15, 0.2, 0.15),
+            render_factor=min(deoldify_rf, ddcolor_rf),
+            batch_size=batch_size,
+        )
+    return colored
+
+
+def HAVC_main_presets(
+    clip: Clip,
+    preset: str = "fast",
+    color_model: str = "video+artistic",
+    comb_method: str = "constrained-chroma",
+    video_tune: str = "balanced",
+    color_fix: str = "violet/red",
+    color_tune: str = "light",
+    color_map: str = "none",
+    bw_tune: str = "none",
+    enable_deep_ex: bool = False,
+    sc_threshold: float = 0.0,
+    sc_min_freq: int = 0,
+    lut: Optional[int] = None,
+    deflicker: bool = False,
+    batch_size: int = 8,
+) -> Clip:
+    """Preset pipeline (HAVC_main_presets, __init__.py:469-912):
+    B&W pre-tune -> colorizer (-> exemplar propagation) -> BW post -> LUT
+    -> deflicker."""
+    _, deoldify_rf, ddcolor_rf = presets.get_render_factors(preset)
+
+    work = clip
+    if bw_tune.lower() != "none":
+        work = HAVC_bw_tune(work, bw_tune, method=0, batch_size=batch_size)
+
+    if enable_deep_ex:
+        from .exemplar import HAVC_deepex  # lazy: heavy module
+
+        ref = HAVC_colorizer(
+            work,
+            method=presets.get_comb_method(comb_method),
+            mweight=presets.get_mweight(video_tune),
+            deoldify_p=(presets.get_color_model(color_model)[0], deoldify_rf, 1.0, 0.0),
+            ddcolor_p=(presets.get_color_model(color_model)[1], ddcolor_rf, 1.0, 0.0, True),
+            sc_threshold=sc_threshold if sc_threshold > 0 else 0.10,
+            sc_min_freq=sc_min_freq,
+            batch_size=batch_size,
+        )
+        colored = HAVC_deepex(clip=work, clip_ref=ref, batch_size=batch_size)
+    else:
+        colored = HAVC_main_colorizer(
+            work,
+            color_model=color_model,
+            comb_method=comb_method,
+            video_tune=video_tune,
+            color_fix=color_fix,
+            color_tune=color_tune,
+            color_map=color_map,
+            deoldify_rf=deoldify_rf,
+            ddcolor_rf=ddcolor_rf,
+            sc_threshold=sc_threshold,
+            sc_min_freq=sc_min_freq,
+            batch_size=batch_size,
+        )
+
+    if lut is not None:
+        colored = HAVC_TimeCube(colored, lut, batch_size=batch_size)
+    if deflicker:
+        sc = colored.sc.sc_prev if colored.sc is not None else None
+        fn = cached_jit(
+            ("deflicker",),
+            lambda: lambda f, s: temporal_ops.reduce_flicker(f, scenechange=s),
+        )
+        scv = jnp.asarray(
+            (sc if sc is not None else np.zeros(len(colored), np.int8)).astype(np.int32)
+        )
+        colored = colored.with_frames(
+            np.asarray(fn(jnp.asarray(np.asarray(colored.frames)), scv))
+        )
+    return colored
+
+
+def HAVC_main(
+    clip: Clip,
+    Preset: str = "medium",
+    ColorModel: str = "video+artistic",
+    CombMethod: str = "constrained-chroma",
+    VideoTune: str = "balanced",
+    ColorFix: str = "violet/red",
+    ColorTune: str = "light",
+    ColorMap: str = "none",
+    BWTune: str = "none",
+    EnableDeepEx: bool = False,
+    ScThreshold: float = 0.0,
+    ScMinFreq: int = 0,
+    batch_size: int = 8,
+) -> Clip:
+    """Top-level entry (HAVC_main, __init__.py:101-330).
+
+    Placebo preset takes the tiled path (HAVC_placebo_preset,
+    __init__.py:430-467): 4-tile slice, per-tile colorize, blend
+    reconstruct.  VerySlow runs the dual-clip darkened pass
+    (HAVC_veryslow_preset, __init__.py:341-428).  Other presets go through
+    HAVC_main_presets.
+    """
+    pr_id, deoldify_rf, ddcolor_rf = presets.get_render_factors(Preset)
+
+    common = dict(
+        color_model=ColorModel, comb_method=CombMethod, video_tune=VideoTune,
+        color_fix=ColorFix, color_tune=ColorTune, color_map=ColorMap,
+        bw_tune=BWTune, enable_deep_ex=EnableDeepEx,
+        sc_threshold=ScThreshold, sc_min_freq=ScMinFreq,
+        batch_size=batch_size,
+    )
+
+    if pr_id == 0:  # placebo: tiled HD path
+        tiles_clip, meta = HAVC_clip_slice(clip, 2, 2, overlap=max(clip.width // 16, 32))
+        colored_tiles = HAVC_main_presets(tiles_clip, preset="slower", **common)
+        return HAVC_clip_reconstruct(clip, colored_tiles, meta)
+
+    if pr_id == 1:  # veryslow: dual darkened pass
+        darkened = HAVC_tweak(clip, bright=-0.06, batch_size=batch_size)
+        pass_a = HAVC_main_presets(
+            darkened, preset="slower",
+            **{**common, "color_model": "deoldify(video)"},
+        )
+        pass_b = HAVC_main_presets(
+            darkened, preset="slower",
+            **{**common, "color_model": "ddcolor(artistic)"},
+        )
+        merged = HAVC_merge(pass_a, pass_b, method=2, mweight=presets.get_mweight(VideoTune))
+        return merged
+
+    return HAVC_main_presets(clip, preset=Preset, **common)

@@ -1,0 +1,145 @@
+"""Public HAVC_* API: preset tables, colorizer flow, stabilizer chain."""
+import numpy as np
+import pytest
+
+import havc_tpu
+from havc_tpu import presets
+from havc_tpu.clip import from_frames
+
+
+@pytest.fixture
+def bw_clip(rng):
+    g = rng.random((6, 64, 80, 1), dtype=np.float32)
+    return from_frames(np.tile(g, (1, 1, 1, 3)))
+
+
+class TestPresets:
+    def test_render_factors(self):
+        assert presets.get_render_factors("medium") == (4, 24, 24)
+        assert presets.get_render_factors("veryfast") == (7, 16, 16)
+        assert presets.get_render_factors("placebo")[0] == 0
+
+    def test_invalid_preset(self):
+        with pytest.raises(ValueError):
+            presets.get_render_factors("warpspeed")
+
+    def test_mweight(self):
+        assert presets.get_mweight("balanced") == 0.5
+        assert presets.get_mweight("verystable") == 0.2
+        assert presets.get_mweight("veryvivid") == 0.8
+
+    def test_comb_method(self):
+        assert presets.get_comb_method("simple") == 2
+        assert presets.get_comb_method("chromabound adaptive") == 7
+
+    def test_color_model(self):
+        assert presets.get_color_model("video+artistic") == (0, 1, 2)
+        assert presets.get_color_model("deoldify(stable)") == (1, 0, 0)
+        assert presets.get_color_model("ddcolor(modelscope)") == (0, 0, 1)
+        assert presets.get_color_model("zhang(eccv16)") == (0, 3, 1)
+
+    def test_color_tune_tables(self):
+        dd_tweak, hr, hr2, ca, ca2 = presets.get_color_tune(
+            "light", "violet/red", "none", dd_model=1
+        )
+        assert dd_tweak[0] is True
+        assert hr == "300:360|0.8,0.1"
+        assert ca == "none"
+
+    def test_color_tune_none_disables(self):
+        dd_tweak, hr, *_ = presets.get_color_tune("none", "violet/red", "none", 1)
+        assert dd_tweak[0] is False and hr == "none"
+
+    def test_colormap_table(self):
+        assert presets.get_colormap("blue->brown", "light") == "180:280|+140,0.90"
+        assert presets.get_colormap("none", "light") == "none"
+
+
+class TestColorizer:
+    def test_zhang_only_path(self, bw_clip):
+        # method resolves to 1 (ddcolor branch) with zhang model 3 (eccv16)
+        out = havc_tpu.HAVC_colorizer(
+            bw_clip, method=1, ddcolor_p=(3, 10, 1.0, 0.0, True), batch_size=4
+        )
+        assert out.num_frames == bw_clip.num_frames
+        assert out.height == bw_clip.height
+        f = np.asarray(out.frames)
+        assert np.isfinite(f).all() and f.min() >= 0 and f.max() <= 1
+
+    def test_scenechange_gating_colors_only_refs(self, bw_clip):
+        out = havc_tpu.HAVC_colorizer(
+            bw_clip, method=1, ddcolor_p=(3, 10, 1.0, 0.0, True),
+            sc_threshold=0.1, sc_min_freq=3, batch_size=4,
+        )
+        assert out.sc is not None
+        assert out.sc.sc_prev[0] == 1
+
+    def test_invalid_rf_raises(self, bw_clip):
+        with pytest.raises(ValueError):
+            havc_tpu.HAVC_colorizer(bw_clip, ddcolor_p=(3, 7, 1.0, 0.0, True))
+
+
+class TestStabilizer:
+    def test_full_chain(self, bw_clip):
+        out = havc_tpu.HAVC_stabilizer(
+            bw_clip, dark=True, smooth=True, colormap="blue->brown",
+            stab=True, render_factor=16, batch_size=4,
+        )
+        assert out.num_frames == bw_clip.num_frames
+        f = np.asarray(out.frames)
+        assert np.isfinite(f).all()
+
+    def test_luma_preserved(self, bw_clip):
+        out = havc_tpu.HAVC_stabilizer(
+            bw_clip, stab=True, render_factor=16, batch_size=4
+        )
+        from havc_tpu.ops.colorspace import luma
+        import jax.numpy as jnp
+
+        y_in = np.asarray(luma(jnp.asarray(np.asarray(bw_clip.frames))))
+        y_out = np.asarray(luma(jnp.asarray(np.asarray(out.frames))))
+        assert np.abs(y_in - y_out).mean() < 0.02
+
+
+class TestUtilities:
+    def test_merge(self, bw_clip, rng):
+        other = from_frames(rng.random((6, 64, 80, 3), dtype=np.float32))
+        out = havc_tpu.HAVC_merge(bw_clip, other, method=2, mweight=0.5, batch_size=4)
+        expect = 0.5 * np.asarray(bw_clip.frames) + 0.5 * np.asarray(other.frames)
+        assert np.abs(np.asarray(out.frames) - expect).max() < 1e-5
+
+    def test_bw_tune(self, bw_clip):
+        out = havc_tpu.HAVC_bw_tune(bw_clip, "medium", method=1, batch_size=4)
+        assert out.num_frames == bw_clip.num_frames
+
+    def test_timecube(self, bw_clip):
+        out = havc_tpu.HAVC_TimeCube(bw_clip, lut=4, batch_size=4)
+        assert np.isfinite(np.asarray(out.frames)).all()
+
+    def test_tweak(self, bw_clip):
+        out = havc_tpu.HAVC_tweak(bw_clip, sat=0.0, batch_size=4)
+        f = np.asarray(out.frames)
+        assert np.abs(f[..., 0] - f[..., 1]).max() < 1e-3  # grayscale
+
+    def test_adjust_rgb(self, bw_clip):
+        out = havc_tpu.HAVC_adjust_rgb(bw_clip, factor=(1.2, 1.0, 0.8), batch_size=4)
+        f_in = np.asarray(bw_clip.frames)
+        f = np.asarray(out.frames)
+        assert (f[..., 0] >= f_in[..., 0] - 1e-5).all()
+
+    def test_scene_detect_api(self, bw_clip):
+        out = havc_tpu.HAVC_SceneDetect(bw_clip, sc_threshold=0.1)
+        assert out.sc is not None and out.sc.sc_prev[0] == 1
+
+    def test_slice_reconstruct(self, bw_clip):
+        tiles, meta = havc_tpu.HAVC_clip_slice(bw_clip, 2, 2, overlap=16)
+        assert tiles.num_frames == 4 * bw_clip.num_frames
+        rec = havc_tpu.HAVC_clip_reconstruct(bw_clip, tiles, meta, recover_luma=False)
+        assert np.abs(np.asarray(rec.frames) - np.asarray(bw_clip.frames)).max() < 1e-4
+
+    def test_recover_clip_color(self, bw_clip, rng):
+        color = from_frames(rng.random((6, 64, 80, 3), dtype=np.float32))
+        out = havc_tpu.HAVC_recover_clip_color(
+            bw_clip, color, chroma_resize=False, batch_size=4
+        )
+        assert out.num_frames == 6
