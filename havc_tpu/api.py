@@ -718,3 +718,248 @@ def HAVC_main(
         return merged
 
     return HAVC_main_presets(clip, preset=Preset, **common)
+
+
+# --------------------------------------------------------------------------
+# Overlay / fast-colorizer / color-adjust / edge-detect / misc entry points
+# --------------------------------------------------------------------------
+
+
+def HAVC_clip_overlay(
+    base: Clip,
+    overlay_clip: Clip,
+    x: int = 0,
+    y: int = 0,
+    mask: Optional[Clip] = None,
+    opacity: float = 1.0,
+    mode: str = "normal",
+    batch_size: int = 8,
+) -> Clip:
+    """Blend-mode compositor (HAVC_clip_overlay, __init__.py:3029-3148)."""
+    from .ops.overlay import overlay as op_overlay
+
+    mask_frames = (
+        jnp.asarray(np.asarray(mask.frames))[..., 0] if mask is not None else None
+    )
+    fn = cached_jit(
+        ("overlay", x, y, mode, opacity, mask is not None,
+         base.height, base.width, overlay_clip.height, overlay_clip.width),
+        lambda: (
+            (lambda b, o, m: op_overlay(b, o, x, y, m, opacity, mode))
+            if mask is not None
+            else (lambda b, o: op_overlay(b, o, x, y, None, opacity, mode))
+        ),
+    )
+    T = base.num_frames
+    outs = []
+    for s in range(0, T, batch_size):
+        b = jnp.asarray(np.asarray(base.frames[s : s + batch_size]))
+        o = jnp.asarray(np.asarray(overlay_clip.frames[s : s + batch_size]))
+        if mask is not None:
+            m = mask_frames[s : s + batch_size]
+            outs.append(np.asarray(fn(b, o, m)))
+        else:
+            outs.append(np.asarray(fn(b, o)))
+    return base.with_frames(np.concatenate(outs))
+
+
+def HAVC_colorizer_fast(
+    clip: Clip,
+    sc_min_freq: int = 10,
+    ex_model: int = 0,
+    render_speed: str = "medium",
+    engine_config: str = "micro",
+    batch_size: int = 8,
+    **colorizer_kwargs,
+) -> Clip:
+    """Fast colorizer (HAVC_colorizer_fast + vs_frame_interpolation,
+    __init__.py:2138-2288): colorize only every Nth frame with the classic
+    engines, then interpolate the colors of in-between frames with an
+    exemplar propagator."""
+    from .exemplar import HAVC_deepex
+
+    ref = HAVC_colorizer(
+        clip, sc_threshold=0.10, sc_min_freq=sc_min_freq,
+        batch_size=batch_size, **colorizer_kwargs,
+    )
+    return HAVC_deepex(
+        clip, ref, ex_model=ex_model, render_speed=render_speed,
+        engine_config=engine_config, batch_size=batch_size,
+    )
+
+
+def HAVC_restore_video(*args, **kwargs):
+    """Re-export of the exemplar restore entry (see havc_tpu.exemplar)."""
+    from .exemplar import HAVC_restore_video as _restore
+
+    return _restore(*args, **kwargs)
+
+
+def HAVC_ColorAdjust(
+    clip: Clip,
+    clip_ref: Optional[Clip] = None,
+    bw_tune: str = "none",
+    lut: Optional[int] = None,
+    deflicker: bool = False,
+    ex_model: int = 0,
+    engine_config: str = "micro",
+    batch_size: int = 8,
+) -> Clip:
+    """Post color-adjust: optional ReColor via exemplar propagation from a
+    reference clip + BW tune + LUT + deflicker (HAVC_ColorAdjust /
+    HAVC_main_restore, __init__.py:957-1253)."""
+    out = clip
+    if clip_ref is not None:
+        out = HAVC_restore_video(
+            out, clip_ref, ex_model=ex_model, engine_config=engine_config
+        )
+    if bw_tune.lower() != "none":
+        out = HAVC_bw_tune(out, bw_tune, method=0, batch_size=batch_size)
+    if lut is not None:
+        out = HAVC_TimeCube(out, lut, batch_size=batch_size)
+    if deflicker:
+        sc = out.sc.sc_prev if out.sc is not None else np.zeros(len(out), np.int8)
+        fn = cached_jit(
+            ("deflicker",),
+            lambda: lambda f, s: temporal_ops.reduce_flicker(f, scenechange=s),
+        )
+        out = out.with_frames(
+            np.asarray(
+                fn(jnp.asarray(np.asarray(out.frames)),
+                   jnp.asarray(sc.astype(np.int32)))
+            )
+        )
+    return out
+
+
+HAVC_main_restore = HAVC_ColorAdjust
+
+
+def HAVC_SceneDetectEdges(
+    clip: Clip,
+    sc_threshold: float = 0.5,
+    sc_min_int: int = 1,
+    sc_tht_ssim: float = 0.0,
+    sc_tht_white: float = 0.70,
+    sc_tht_black: float = 0.10,
+) -> Clip:
+    """Edge-based scene detection (HAVC_SceneDetectEdges, __init__.py:3219;
+    vsscdetect_edge.py)."""
+    from .scene.edges import scene_detect_edges
+
+    flags = scene_detect_edges(
+        np.asarray(clip.frames),
+        threshold=sc_threshold,
+        min_length=sc_min_int,
+        tht_white=sc_tht_white,
+        tht_black=sc_tht_black,
+        sc_tht_ssim=sc_tht_ssim,
+    )
+    return clip.with_sc(flags)
+
+
+def HAVC_read_video(path: str, fpsnum: int = 0, fpsden: int = 1, **kwargs) -> Clip:
+    """Video reader entry (havc_utils.HAVC_read_video:249-322)."""
+    from .io import read_video
+
+    fps_force = fpsnum / fpsden if fpsnum > 0 else None
+    return read_video(path, fps_force=fps_force, **kwargs)
+
+
+def HAVC_export_list_frames(clip: Clip, sc_framedir: str, frame_list: list) -> list:
+    """Export an explicit frame list (vs_list_export_frames analog)."""
+    from .io import export_reference_frames
+
+    return export_reference_frames(clip, sc_framedir, frame_list=frame_list)
+
+
+def HAVC_DeepRemaster(*args, **kwargs):
+    from .exemplar import HAVC_DeepRemaster as _dr
+
+    return _dr(*args, **kwargs)
+
+
+def HAVC_deepex(*args, **kwargs):
+    from .exemplar import HAVC_deepex as _dx
+
+    return _dx(*args, **kwargs)
+
+
+def HAVC_cmnet2(*args, **kwargs):
+    from .exemplar import HAVC_cmnet2 as _c2
+
+    return _c2(*args, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# Global parameter setters + legacy shims (__init__.py:3418-3663)
+# --------------------------------------------------------------------------
+
+_GLOBAL_PARAMS = {
+    "tweak": list(DEF_TWEAK_p),
+    "cmc": list(DEF_CMC_p),
+    "lmm": list(DEF_LMM_p),
+    "alm": list(DEF_ALM_p),
+    "crt": list(DEF_CRT_p),
+}
+
+
+def HAVC_set_tweak_params(**kwargs):
+    """Mutate the module-global DDColor tweak defaults
+    (HAVC_set_tweak_params, __init__.py:3418)."""
+    names = ["bright", "cont", "gamma", "luma_constrained_tweak", "luma_min",
+             "gamma_luma_min", "gamma_alpha", "gamma_min"]
+    for k, v in kwargs.items():
+        if k in names:
+            _GLOBAL_PARAMS["tweak"][names.index(k)] = v
+    return list(_GLOBAL_PARAMS["tweak"])
+
+
+def HAVC_set_merge_params(cmc_p=None, lmm_p=None, alm_p=None, crt_p=None):
+    """Mutate the global merge parameter packs (HAVC_set_merge_params)."""
+    if cmc_p is not None:
+        _GLOBAL_PARAMS["cmc"] = list(cmc_p)
+    if lmm_p is not None:
+        _GLOBAL_PARAMS["lmm"] = list(lmm_p)
+    if alm_p is not None:
+        _GLOBAL_PARAMS["alm"] = list(alm_p)
+    if crt_p is not None:
+        _GLOBAL_PARAMS["crt"] = list(crt_p)
+    return dict(_GLOBAL_PARAMS)
+
+
+def ddeoldify(clip: Clip, *args, **kwargs) -> Clip:
+    """Deprecated legacy entry -> HAVC_main (__init__.py:3612-3663)."""
+    import warnings
+
+    warnings.warn("ddeoldify() is deprecated; use HAVC_main()", DeprecationWarning)
+    return HAVC_main(clip, *args, **kwargs)
+
+
+def HAVC_ddeoldify(clip: Clip, *args, **kwargs) -> Clip:
+    """Deprecated legacy entry -> HAVC_colorizer."""
+    import warnings
+
+    warnings.warn(
+        "HAVC_ddeoldify() is deprecated; use HAVC_colorizer()", DeprecationWarning
+    )
+    return HAVC_colorizer(clip, *args, **kwargs)
+
+
+__all__ += [
+    "HAVC_clip_overlay",
+    "HAVC_colorizer_fast",
+    "HAVC_restore_video",
+    "HAVC_ColorAdjust",
+    "HAVC_main_restore",
+    "HAVC_SceneDetectEdges",
+    "HAVC_read_video",
+    "HAVC_export_list_frames",
+    "HAVC_DeepRemaster",
+    "HAVC_deepex",
+    "HAVC_cmnet2",
+    "HAVC_set_tweak_params",
+    "HAVC_set_merge_params",
+    "ddeoldify",
+    "HAVC_ddeoldify",
+]

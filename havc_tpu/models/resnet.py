@@ -27,6 +27,8 @@ from .layers import BatchNormInference, PtConv
 __all__ = ["ResNetBody", "RESNET_CONFIGS"]
 
 RESNET_CONFIGS = {
+    # dev/test scale (not a published geometry)
+    "nano": dict(block="basic", layers=(1, 1, 1, 1), stem_features=16),
     "resnet18": dict(block="basic", layers=(2, 2, 2, 2)),
     "resnet34": dict(block="basic", layers=(3, 4, 6, 3)),
     "resnet50": dict(block="bottleneck", layers=(3, 4, 6, 3)),

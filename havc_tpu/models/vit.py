@@ -1,0 +1,147 @@
+"""DINOv2 ViT-S/14 feature extractor (Flax, NHWC).
+
+Rebuild of the DINOv2 backbone ColorMNet hub-loads (reference:
+vsdeoldify/colormnet/model/resnet.py:211-246 ``Segmentor``: intermediate
+layers [8, 9, 10, 11] concatenated -> 1536ch -> 1x1 conv + BN + ReLU ->
+bilinear re-interp from the 1/14 patch grid to the 1/16 grid; SURVEY.md
+hard-part #3).
+
+Standard ViT-S/14: patch embed 14x14 stride 14, dim 384, 12 blocks,
+6 heads, MLP ratio 4, pre-norm, learned pos embeddings (interpolated to
+the input grid) + CLS token (dropped for feature maps).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ViT", "VIT_CONFIGS", "DinoSegmentor"]
+
+VIT_CONFIGS = {
+    "dinov2_s14": dict(patch=14, dim=384, depth=12, heads=6),
+    # test/dev configs
+    "micro": dict(patch=14, dim=64, depth=4, heads=2),
+    "nano": dict(patch=14, dim=32, depth=2, heads=2),
+}
+
+
+class Attention(nn.Module):
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        d = self.dim // self.heads
+        qkv = nn.Dense(self.dim * 3, name="qkv", dtype=x.dtype)(x)
+        q, k, v = jnp.split(qkv.reshape(b, n, 3, self.heads, d), 3, axis=2)
+        q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
+        logits = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(d)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum(
+            "bhnm,bmhd->bnhd", attn, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = out.reshape(b, n, self.dim)
+        return nn.Dense(self.dim, name="proj", dtype=x.dtype)(out)
+
+
+class Block(nn.Module):
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(name="norm1")(x)
+        x = x + Attention(self.dim, self.heads, name="attn")(y)
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(self.dim * 4, name="mlp_fc1", dtype=x.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, name="mlp_fc2", dtype=x.dtype)(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    """Returns the requested intermediate layer outputs as feature maps
+    (B, H/p, W/p, dim) — ``get_intermediate_layers(..., reshape=True)``."""
+
+    patch: int = 14
+    dim: int = 384
+    depth: int = 12
+    heads: int = 6
+    out_layers: Sequence[int] = (8, 9, 10, 11)
+
+    @nn.compact
+    def __call__(self, rgb) -> Tuple[jnp.ndarray, ...]:
+        b, h, w, _ = rgb.shape
+        # inputs must be patch multiples (the reference pads clips to 112 =
+        # lcm(16, 14), colormnet_render pad_divide_by); resize if not
+        gh, gw = max(h // self.patch, 1), max(w // self.patch, 1)
+        if (gh * self.patch, gw * self.patch) != (h, w):
+            rgb = jax.image.resize(
+                rgb, (b, gh * self.patch, gw * self.patch, rgb.shape[-1]),
+                "bilinear",
+            )
+        x = nn.Conv(
+            self.dim, (self.patch, self.patch),
+            strides=(self.patch, self.patch), padding="VALID",
+            name="patch_embed", dtype=rgb.dtype,
+        )(rgb)
+        x = x.reshape(b, gh * gw, self.dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, gh * gw + 1, self.dim),
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(cls, x.dtype), (b, 1, self.dim)), x],
+            axis=1,
+        )
+        x = x + jnp.asarray(pos, x.dtype)
+        outs = []
+        for i in range(self.depth):
+            x = Block(self.dim, self.heads, name=f"block{i}")(x)
+            if i in self.out_layers:
+                outs.append(
+                    nn.LayerNorm(name=f"out_norm{i}")(x)[:, 1:].reshape(
+                        b, gh, gw, self.dim
+                    )
+                )
+        return tuple(outs)
+
+
+class DinoSegmentor(nn.Module):
+    """Segmentor head (resnet.py:211-246): concat 4 intermediate layers ->
+    1x1 conv (no bias) + BN + ReLU -> resize from the 1/14 grid to 1/16."""
+
+    vit_config: str = "dinov2_s14"
+
+    @nn.compact
+    def __call__(self, rgb):
+        cfg = VIT_CONFIGS[self.vit_config]
+        n_out = 4
+        feats = ViT(
+            patch=cfg["patch"], dim=cfg["dim"], depth=cfg["depth"],
+            heads=cfg["heads"],
+            out_layers=tuple(range(cfg["depth"] - n_out, cfg["depth"])),
+            name="backbone",
+        )(rgb)
+        f = jnp.concatenate(feats, axis=-1)  # (B, gh, gw, 4*dim)
+        f = nn.Conv(f.shape[-1], (1, 1), use_bias=False, name="conv3",
+                    dtype=f.dtype)(f)
+        scale = self.param("bn_scale", nn.initializers.ones, (f.shape[-1],))
+        bias = self.param("bn_bias", nn.initializers.zeros, (f.shape[-1],))
+        mean = self.param("bn_mean", nn.initializers.zeros, (f.shape[-1],))
+        var = self.param("bn_var", nn.initializers.ones, (f.shape[-1],))
+        f = (f - jnp.asarray(mean, f.dtype)) / jnp.sqrt(
+            jnp.asarray(var, f.dtype) + 1e-5
+        ) * jnp.asarray(scale, f.dtype) + jnp.asarray(bias, f.dtype)
+        f = nn.relu(f)
+        # re-interp from the 1/14 grid to the 1/16 grid (x * 14/16)
+        b, gh, gw, c = f.shape
+        nh, nw = int(gh * 14 / 16), int(gw * 14 / 16)
+        return jax.image.resize(f, (b, nh, nw, c), "bilinear")

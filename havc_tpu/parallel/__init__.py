@@ -1,0 +1,8 @@
+"""Multi-chip sharding: mesh construction + sharded pipeline steps."""
+
+from .mesh import (  # noqa: F401
+    make_mesh,
+    shard_frames,
+    replicate,
+    sharded_pipeline_step,
+)

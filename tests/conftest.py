@@ -26,3 +26,7 @@ def rng():
 def rgb_batch(rng):
     """A small batch of random RGB frames in [0,1], float32, shape (2,64,96,3)."""
     return rng.random((2, 64, 96, 3), dtype=np.float32)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-compile tests (exemplar scans)")

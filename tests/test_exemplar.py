@@ -1,0 +1,157 @@
+"""Exemplar engines: memory-bank semantics, ColorMNet/DeepEx/Remaster flows.
+
+Uses nano/micro configs at tiny sizes — structure-identical to the full
+geometry, sized for test-time compiles.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from havc_tpu.models import memory as mem
+from havc_tpu.models.colormnet import get_similarity, topk_softmax, readout
+
+
+@pytest.fixture(scope="module")
+def mem_cfg():
+    return mem.MemoryConfig(
+        key_dim=4, value_dim=8, tokens_per_frame=6,
+        perm_frames=2, work_frames=3, lt_tokens=16, n_proto=4, top_k=4,
+    )
+
+
+class TestMemoryBank:
+    def test_empty_readout_is_zero(self, mem_cfg):
+        state = mem.init_memory(mem_cfg)
+        qk = jnp.ones((6, 4))
+        out, _ = mem.read_memory(state, mem_cfg, qk, None)
+        assert np.abs(np.asarray(out)).max() == 0.0
+
+    def test_reference_insert_and_recall(self, mem_cfg):
+        state = mem.init_memory(mem_cfg)
+        rng = np.random.default_rng(0)
+        keys = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+        values = jnp.asarray(rng.normal(size=(2, 6, 8)).astype(np.float32))
+        shrink = jnp.ones((6,))
+        state = mem.insert_reference(
+            state, mem_cfg, keys, shrink, values, jnp.asarray(True)
+        )
+        # query with the same keys: readout should closely match the values
+        out, _ = mem.read_memory(state, mem_cfg, keys, None)
+        # top-k softmax over a single matching frame: dominated by self-slot
+        self_sim = np.einsum("pc,pc->p", np.asarray(keys), np.asarray(keys))
+        assert np.corrcoef(
+            np.asarray(out)[0].ravel(), np.asarray(values)[0].ravel()
+        )[0, 1] > 0.5
+
+    def test_masked_insert_noop(self, mem_cfg):
+        state = mem.init_memory(mem_cfg)
+        keys = jnp.ones((6, 4))
+        values = jnp.ones((2, 6, 8))
+        state2 = mem.insert_reference(
+            state, mem_cfg, keys, jnp.ones((6,)), values, jnp.asarray(False)
+        )
+        assert not bool(np.asarray(state2.perm_valid).any())
+        assert int(state2.perm_ptr) == 0
+
+    def test_working_ring_eviction_consolidates(self, mem_cfg):
+        state = mem.init_memory(mem_cfg)
+        rng = np.random.default_rng(1)
+        for i in range(mem_cfg.work_frames + 1):
+            keys = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+            values = jnp.asarray(rng.normal(size=(2, 6, 8)).astype(np.float32))
+            state = mem.insert_working(
+                state, mem_cfg, keys, jnp.ones((6,)), values, jnp.asarray(True)
+            )
+        # one eviction happened -> long-term ring received n_proto tokens
+        assert int(state.lt_ptr) == mem_cfg.n_proto
+        assert int(np.asarray(state.lt_valid).sum()) == mem_cfg.n_proto
+        assert int(state.work_ptr) == mem_cfg.work_frames + 1
+
+    def test_usage_accumulates(self, mem_cfg):
+        state = mem.init_memory(mem_cfg)
+        rng = np.random.default_rng(2)
+        keys = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+        values = jnp.asarray(rng.normal(size=(2, 6, 8)).astype(np.float32))
+        state = mem.insert_working(
+            state, mem_cfg, keys, jnp.ones((6,)), values, jnp.asarray(True)
+        )
+        _, state = mem.read_memory(state, mem_cfg, keys, None)
+        assert float(np.asarray(state.work_usage).sum()) > 0
+
+
+class TestSimilarity:
+    def test_self_similarity_is_max(self):
+        rng = np.random.default_rng(3)
+        mk = jnp.asarray(rng.normal(size=(10, 8)).astype(np.float32))
+        sim = get_similarity(mk, None, mk, None)
+        # diagonal (negative squared distance scaled) should be the row max
+        s = np.asarray(sim)
+        assert (s.argmax(axis=0) == np.arange(10)).all()
+
+    def test_selection_weighting(self):
+        rng = np.random.default_rng(4)
+        mk = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+        qk = jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32))
+        qe = jnp.ones((3, 8))
+        # full selection == unweighted L2 similarity up to the b_sq constant
+        s1 = np.asarray(get_similarity(mk, None, qk, qe))
+        s2 = np.asarray(get_similarity(mk, None, qk, None))
+        col_shift = s1 - s2  # should be constant per column (b_sq term)
+        assert np.abs(col_shift - col_shift[0:1]).max() < 1e-4
+
+    def test_topk_sparsity(self):
+        rng = np.random.default_rng(5)
+        sim = jnp.asarray(rng.normal(size=(20, 7)).astype(np.float32))
+        aff, usage = topk_softmax(sim, top_k=5)
+        a = np.asarray(aff)
+        assert ((a > 0).sum(axis=0) <= 5).all()
+        assert np.allclose(a.sum(axis=0), 1.0, atol=1e-5)
+        assert np.allclose(np.asarray(usage).sum(), 7.0, atol=1e-4)
+
+    def test_topk_all_masked_zero(self):
+        sim = jnp.zeros((10, 4))
+        valid = jnp.zeros((10,), bool)
+        aff, usage = topk_softmax(sim, top_k=3, valid=valid)
+        assert np.abs(np.asarray(aff)).max() == 0.0
+
+
+@pytest.mark.slow
+class TestColorMNetFlow:
+    def test_propagate_tiny(self):
+        from havc_tpu.exemplar import ColorMNetEngine, colormnet_propagate
+
+        eng = ColorMNetEngine(config="micro", work_size=(32, 32))
+        rng = np.random.default_rng(0)
+        frames = rng.random((4, 32, 32, 3), dtype=np.float32)
+        ref_ab = (rng.random((4, 32, 32, 2), dtype=np.float32) * 2 - 1)
+        is_ref = np.array([1, 0, 0, 0], bool)
+        ab = colormnet_propagate(eng, frames, ref_ab, is_ref)
+        assert ab.shape == (4, 32, 32, 2)
+        assert np.isfinite(ab).all()
+        # reference frame passes its ab through exactly
+        assert np.abs(ab[0] - ref_ab[0]).max() < 1e-5
+        # predictions bounded by tanh
+        assert np.abs(ab[1:]).max() <= 1.0
+
+
+@pytest.mark.slow
+class TestRemasterFlow:
+    def test_window_colorize(self):
+        from havc_tpu.exemplar import RemasterEngine, remaster_propagate
+
+        eng = RemasterEngine()
+        rng = np.random.default_rng(1)
+        frames = np.tile(
+            rng.random((4, 32, 32, 1), dtype=np.float32), (1, 1, 1, 3)
+        )
+        refs = rng.random((2, 32, 32, 3), dtype=np.float32)
+        out = remaster_propagate(eng, frames, refs, length=2)
+        assert out.shape == frames.shape
+        assert np.isfinite(out).all()
+        # luma preserved through the LAB re-marry
+        from havc_tpu.ops.colorspace import luma
+
+        y_in = np.asarray(luma(jnp.asarray(frames)))
+        y_out = np.asarray(luma(jnp.asarray(out)))
+        assert np.abs(y_in - y_out).mean() < 0.1
