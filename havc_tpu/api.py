@@ -963,3 +963,31 @@ __all__ += [
     "ddeoldify",
     "HAVC_ddeoldify",
 ]
+
+
+def HAVC_degrain(clip: Clip, strength: int = 1, batch_size: int = 4) -> Clip:
+    """Luma degrain via non-local means (vs_degrain / KNLMeansCL role,
+    vsfilters.py:913-1010)."""
+    from .ops.denoise import degrain
+
+    return _batched(clip, lambda x: degrain(x, strength), batch_size)
+
+
+def HAVC_SceneDetectMotion(
+    clip: Clip,
+    bad_sad: float = 0.08,
+    bad_ratio: float = 0.55,
+    sc_min_int: int = 1,
+) -> Clip:
+    """Motion-vector-style scene detection (vs_mv_sc_detect / SCXvid role,
+    vsscdect.py:498-576)."""
+    from .scene.motion import scene_detect_motion
+
+    flags = scene_detect_motion(
+        np.asarray(clip.frames), bad_sad=bad_sad, bad_ratio=bad_ratio,
+        min_length=sc_min_int,
+    )
+    return clip.with_sc(flags)
+
+
+__all__ += ["HAVC_degrain", "HAVC_SceneDetectMotion"]

@@ -1,0 +1,58 @@
+"""Non-local-means luma degrain (the KNLMeansCL role).
+
+Rebuild of the reference's degrain filter (reference:
+vsdeoldify/vsslib/vsfilters.py:913-1010 ``vs_degrain`` wraps KNLMeansCL —
+OpenCL non-local means on the luma plane, strengths 1-3).
+
+TPU shape: the search window is a fixed (2a+1)^2 neighbourhood evaluated as
+shifted whole-frame patch distances (one fused elementwise program per
+offset, VPU-bound) — no gathers.  Patch similarity uses a box-filtered
+squared difference (patch radius f), weights exp(-d/h^2).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .colorspace import luma, rgb_to_yuv, yuv_to_rgb_preserve_luma
+from .retinex import _box_filter_1d
+
+__all__ = ["nlm_luma", "degrain"]
+
+
+def _patch_dist(a: jnp.ndarray, b: jnp.ndarray, f: int) -> jnp.ndarray:
+    d = (a - b) ** 2
+    d = _box_filter_1d(d, f, -2)
+    return _box_filter_1d(d, f, -1)
+
+
+def nlm_luma(
+    y: jnp.ndarray, h: float = 1.2, a: int = 2, f: int = 1
+) -> jnp.ndarray:
+    """Non-local means on a luma plane (..., H, W) in [0,1].
+
+    ``h``: filtering strength (KNLMeans h, on the 0..255/64 scale the
+    plugin uses -> here scaled to [0,1] luma); ``a``: search radius;
+    ``f``: patch radius.
+    """
+    h2 = (h / 64.0) ** 2
+    acc = jnp.zeros_like(y)
+    wacc = jnp.zeros_like(y)
+    for dy in range(-a, a + 1):
+        for dx in range(-a, a + 1):
+            shifted = jnp.roll(y, (dy, dx), axis=(-2, -1))
+            d = _patch_dist(y, shifted, f)
+            w = jnp.exp(-d / h2)
+            acc = acc + shifted * w
+            wacc = wacc + w
+    return acc / jnp.maximum(wacc, 1e-8)
+
+
+def degrain(rgb: jnp.ndarray, strength: int = 1) -> jnp.ndarray:
+    """vs_degrain analog: NLM on luma only, strengths 1-3."""
+    params = {1: (1.2, 1, 1), 2: (1.2, 2, 2), 3: (1.2, 3, 3)}
+    h, a, f = params.get(max(min(strength, 3), 1))
+    yuv = rgb_to_yuv(rgb)
+    y_dn = nlm_luma(yuv[..., 0], h, a, f)
+    return yuv_to_rgb_preserve_luma(
+        jnp.stack([y_dn, yuv[..., 1], yuv[..., 2]], axis=-1)
+    )

@@ -1,0 +1,99 @@
+"""Motion-based scene detection (the SCXvid / MVTools role).
+
+Rebuild of the reference's alternative detectors (reference:
+vsdeoldify/vsslib/vsscdect.py:498-576 ``vs_sc_xvid`` (keyframe-style
+detection) and ``vs_mv_sc_detect`` (mv.Super/Analyse/SCDetection —
+block-motion SAD)).  The MVTools path estimates block motion vectors and
+flags frames whose blocks mostly fail to find matches; the TPU analog:
+
+* split downscaled luma into 16x16 blocks;
+* for each block, search a +/-search_range window in the previous frame
+  (implemented as shifted whole-frame SADs — vectorized, no per-block
+  gather: for S^2 candidate offsets compute blockwise SAD maps in one
+  (S^2, nblocks) tensor and take the min);
+* a block "fails" when even its best match exceeds ``bad_sad``; a frame is
+  a scene change when the failing fraction exceeds ``bad_ratio``.
+
+This is the jnp/MXU-shaped equivalent of block motion analysis: all
+offsets evaluated as one batched reduction.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.colorspace import luma
+from ..ops.resize import resize
+from .detect import SceneFlags, _work_size
+
+__all__ = ["motion_stats", "scene_detect_motion"]
+
+BLOCK = 16
+
+
+def _block_reduce_sum(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """(T, H, W) -> (T, H/b, W/b) summed over blocks."""
+    t, h, w = x.shape
+    return x.reshape(t, h // block, block, w // block, block).sum(axis=(2, 4))
+
+
+@functools.partial(jax.jit, static_argnames=("search",))
+def _motion_kernel(gray: jnp.ndarray, search: int = 4):
+    """Best block SAD vs previous frame over shifted candidates.
+
+    gray: (T, H, W) with H, W multiples of BLOCK.
+    Returns (T, H/B, W/B) best-match SAD per block (frame 0 = zeros).
+    """
+    t, h, w = gray.shape
+    prev = gray[jnp.clip(jnp.arange(t) - 1, 0, t - 1)]
+    best = jnp.full((t, h // BLOCK, w // BLOCK), jnp.inf, gray.dtype)
+    for dy in range(-search, search + 1, 2):
+        for dx in range(-search, search + 1, 2):
+            shifted = jnp.roll(prev, (dy, dx), axis=(1, 2))
+            sad = _block_reduce_sum(jnp.abs(gray - shifted), BLOCK)
+            best = jnp.minimum(best, sad)
+    return best / (BLOCK * BLOCK)
+
+
+def motion_stats(frames: np.ndarray, search: int = 4):
+    x = jnp.asarray(frames)
+    gray = luma(x)
+    h, w = gray.shape[-2], gray.shape[-1]
+    nh, nw = _work_size(h, w)
+    nh, nw = (nh // BLOCK) * BLOCK, (nw // BLOCK) * BLOCK
+    gray_small = resize(gray[..., None], nh, nw, "bilinear")[..., 0]
+    best = _motion_kernel(gray_small, search)
+    lumas = gray_small.mean(axis=(-2, -1))
+    return np.asarray(best), np.asarray(lumas)
+
+
+def scene_detect_motion(
+    frames: np.ndarray,
+    bad_sad: float = 0.08,
+    bad_ratio: float = 0.55,
+    min_length: int = 1,
+    search: int = 4,
+) -> SceneFlags:
+    """MVTools-style SCDetection: a frame whose blocks mostly have no good
+    motion match in the previous frame starts a new scene."""
+    best, lumas = motion_stats(frames, search)
+    T = len(frames)
+    fail_frac = (best > bad_sad).reshape(T, -1).mean(axis=1)
+    sc = np.zeros(T, dtype=np.int8)
+    last = None
+    for n in range(T):
+        if n == 0:
+            sc[n] = 1
+            last = 0
+        elif (n - last) >= min_length and fail_frac[n] > bad_ratio:
+            sc[n] = 1
+            last = n
+    return SceneFlags(
+        sc_prev=sc,
+        sc_next=np.zeros(T, np.int8),
+        luma=lumas.astype(np.float32),
+        ratio=fail_frac.astype(np.float32),
+    )
