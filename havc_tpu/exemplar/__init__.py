@@ -140,6 +140,7 @@ def colormnet_propagate(
     frames: np.ndarray,  # (T, H, W, 3) RGB [0,1] at working size
     ref_ab: np.ndarray,  # (T, H, W, 2) normalized ab in [-1,1] (refs only)
     is_ref: np.ndarray,  # (T,) bool: reference (scene-change) frames
+    vivid: bool = False,  # reset frame memory at every reference update
 ) -> np.ndarray:
     """Scan the clip through the memory network; returns (T, H, W, 2)
     normalized ab predictions.
@@ -161,6 +162,19 @@ def colormnet_propagate(
         state, hidden, last_key, last_value, frame_idx = carry
         frame, rab, ref_flag = inputs
         frame_b = frame[None]
+
+        if vivid:
+            # render_vivid for ColorMNet: reset the frame memory at every
+            # reference update (colormnet_render.py watchdog "vivid && new
+            # ref" reset path) — clear validity masks, keep buffers
+            def clear(s):
+                return s._replace(
+                    work_valid=jnp.zeros_like(s.work_valid),
+                    lt_valid=jnp.zeros_like(s.lt_valid),
+                    work_usage=jnp.zeros_like(s.work_usage),
+                )
+
+            state = jax.lax.cond(ref_flag, clear, lambda s: s, state)
 
         g16, g8, g4 = engine.key_encoder.apply(engine.p_key, frame_b)
         key, shrink, sel = engine.key_proj.apply(engine.p_proj, g16)
@@ -207,7 +221,7 @@ def colormnet_propagate(
     value0 = jnp.zeros((2, h16, w16, engine.value_dim))
 
     scan_fn = cached_jit(
-        ("colormnet_scan", engine.cfg_name, engine.h, engine.w),
+        ("colormnet_scan", engine.cfg_name, engine.h, engine.w, vivid),
         lambda: lambda init, xs: jax.lax.scan(step, init, xs),
     )
     _, ab_seq = scan_fn(
@@ -418,7 +432,9 @@ def HAVC_deepex(
     sc_framedir: Optional[str] = None,
     only_ref_frames: bool = False,
     dark: bool = False,
+    dark_p=(0.2, 0.8),
     smooth: bool = False,
+    smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
     colormap: str = "none",
     ref_weight: float = 1.0,
     vivid: bool = False,
@@ -428,16 +444,40 @@ def HAVC_deepex(
     """Exemplar-based colorization front-end (HAVC_deepex,
     __init__.py:1421-1735).
 
-    ``method`` 0 = HAVC internal refs (clip_ref carries scene-change flags
-    + colorized ref frames); 1-6 = external ref dir / clip variants.
-    ``ex_model``: 0 = ColorMNet, 1 = DeepEx, 2 = DeepRemaster.
+    ``method`` (reference ids, __init__.py:1431-1438):
+        0 = HAVC refs same as video       1 = HAVC + RF same as video
+        2 = HAVC + RF different           3 = external RF same as video
+        4 = external RF different         5 = external ClipRef same
+        6 = external ClipRef different
+    Methods 0-2 take ``clip_ref`` (HAVC-colorized, flags attached); 3-4
+    read ``sc_framedir``; 5-6 take an external ``clip_ref`` video (scene
+    detection run on it here).  ``ex_model``: 0 = ColorMNet, 1 = DeepEx,
+    2 = DeepRemaster, 3 = Deep-CMnet (DeepEx merged with ColorMNet).
+
+    ``render_vivid`` semantics per engine (__init__.py:1445-1449):
+    ColorMNet resets its frame memory at each reference; DeepEx +25%
+    saturation; DeepRemaster +15% saturation.
 
     ``engine_config='micro'`` (default here) runs the reduced dev-scale
     ColorMNet; pass 'full' for the published geometry once converted
     weights are configured.
     """
+    if method in (0, 1, 2) and clip_ref is None:
+        raise ValueError(f"HAVC_deepex: method {method} requires clip_ref")
+    if method in (3, 4) and sc_framedir is None:
+        raise ValueError(f"HAVC_deepex: method {method} requires sc_framedir")
+    if method in (5, 6) and clip_ref is None:
+        raise ValueError(f"HAVC_deepex: method {method} requires clip_ref (external video)")
+    if method in (2, 6) and ref_weight < 1.0:
+        raise ValueError("HAVC_deepex: RefMerge cannot be used with method in (2, 6)")
     if clip_ref is None and sc_framedir is None:
         raise ValueError("HAVC_deepex: no reference source (clip_ref/sc_framedir)")
+
+    if method in (5, 6) and clip_ref is not None and clip_ref.sc is None:
+        # external reference video: detect scenes on the colored reference
+        clip_ref = clip_ref.with_sc(
+            scene_detect(np.asarray(clip_ref.frames), threshold=0.10)
+        )
 
     if sc_framedir is not None and clip_ref is None:
         from ..io import read_reference_dir
@@ -472,6 +512,29 @@ def HAVC_deepex(
 
     # ref-frame pre-filters (colormap/dark/smooth, __init__.py:1652-1668)
     ref_frames = np.asarray(clip_ref.frames)
+    if dark or smooth or colormap not in ("none", ""):
+        from ..filters import chroma_bright_tweak, colormap_filter, dark_tweak
+        from ..presets import get_colormap
+
+        def prefilter(x):
+            if dark:
+                x = dark_tweak(x, dark_threshold=dark_p[0], dark_amount=dark_p[1])
+            if smooth:
+                x = chroma_bright_tweak(
+                    x, black_threshold=smooth_p[0], white_threshold=smooth_p[1],
+                    dark_sat=smooth_p[2], dark_bright=-smooth_p[3],
+                )
+            if colormap not in ("none", ""):
+                cm = get_colormap(colormap, "light") if "->" in colormap else colormap
+                x = colormap_filter(x, cm)
+            return x
+
+        fn = cached_jit(
+            ("deepex_prefilter", dark, tuple(dark_p[:2]), smooth,
+             tuple(smooth_p[:4]), colormap),
+            lambda: prefilter,
+        )
+        ref_frames = np.asarray(fn(jnp.asarray(ref_frames)))
     if vivid and ex_model in (0,):
         fn = cached_jit(
             ("vivid_pre",),
@@ -489,29 +552,44 @@ def HAVC_deepex(
         )(jnp.asarray(ref_frames))
     )
 
-    if ex_model == 0:
+    def _run_colormnet():
         engine = _get_engine("colormnet", config=engine_config, work_size=(wh, ww))
         ref_lab = np.asarray(rgb_to_lab(jnp.asarray(work_refs)))
         ref_ab = np.clip(ref_lab[..., 1:3] / 110.0, -1.0, 1.0)
-        ab = colormnet_propagate(engine, work_frames, ref_ab, is_ref)
+        ab = colormnet_propagate(engine, work_frames, ref_ab, is_ref, vivid=vivid)
         lab_l = np.asarray(rgb_to_lab(jnp.asarray(work_frames)))[..., 0:1]
         lab_out = np.concatenate([lab_l, ab * 110.0], axis=-1)
-        colored_small = np.asarray(
-            jnp.clip(lab_to_rgb(jnp.asarray(lab_out)), 0.0, 1.0)
-        )
-    elif ex_model == 1:
+        return np.asarray(jnp.clip(lab_to_rgb(jnp.asarray(lab_out)), 0.0, 1.0))
+
+    def _run_deepex():
         engine = _get_engine("deepex", speed=render_speed)
-        # deepex works at its own size
         dx_frames = np.asarray(
             resize(jnp.asarray(work_frames), engine.h, engine.w, "spline64")
         )
         dx_refs = np.asarray(
             resize(jnp.asarray(work_refs), engine.h, engine.w, "spline64")
         )
-        colored_small = deepex_propagate(engine, dx_frames, dx_refs, is_ref)
-        colored_small = np.asarray(
-            resize(jnp.asarray(colored_small), wh, ww, "spline64")
-        )
+        out = deepex_propagate(engine, dx_frames, dx_refs, is_ref)
+        out = np.asarray(resize(jnp.asarray(out), wh, ww, "spline64"))
+        if vivid:
+            # DeepEx vivid: ab x 1.25 (deepex/__init__.py vivid flag)
+            fn = cached_jit(
+                ("deepex_vivid",),
+                lambda: lambda x: chroma_tweak(x, sat=1.25),
+            )
+            out = np.asarray(fn(jnp.asarray(out)))
+        return out
+
+    if ex_model == 0:
+        colored_small = _run_colormnet()
+    elif ex_model == 1:
+        colored_small = _run_deepex()
+    elif ex_model == 3:
+        # Deep-CMnet hybrid: DeepEx merged 50/50 with ColorMNet
+        # (__init__.py HAVC_deepex hybrid dispatch)
+        a = _run_colormnet()
+        b = _run_deepex()
+        colored_small = ((a + b) * 0.5).astype(np.float32)
     elif ex_model == 2:
         engine = _get_engine("remaster")
         ref_sel = work_refs[is_ref][:8]

@@ -153,3 +153,29 @@ def siggraph17_key_map() -> dict:
     m["model10.1"] = (("model10_conv1", "Conv_0"), "conv")
     m["model_out.0"] = (("model_out", "Conv_0"), "conv")
     return m
+
+
+def save_params_npz(params: dict, path: str) -> None:
+    """Flatten a flax param tree to the {'a/b/c': array} npz layout the
+    engine registry loads (engines._load_npz_params)."""
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(params, "")
+    np.savez(path, **flat)
+
+
+def convert_checkpoint(
+    checkpoint_path: str, key_map: Mapping, out_path: str, strict: bool = True
+) -> dict:
+    """One-call torch checkpoint -> engine-loadable npz."""
+    sd = load_state_dict(checkpoint_path)
+    params = convert_params(sd, key_map, strict=strict)
+    save_params_npz(params, out_path)
+    return params

@@ -96,10 +96,12 @@ def _post_math(
     v_d = jnp.clip(v * (1.0 + dark_bright), 0.0, 1.0)
     rd, gd, bd = _hsv_to_rgb(h, s_d, v_d)
     y = _luma(r, g, b)
-    # gradient mask between dark_thr and dark_white on ORIGINAL luma
-    tresh = jnp.round(dark_thr * 255.0)
-    maxw = jnp.round(dark_white * 255.0)
-    w = jnp.clip((y * 255.0 - tresh) / jnp.maximum(maxw - tresh, 1.0), 0.0, 1.0)
+    # gradient mask between dark_thr and dark_white on ORIGINAL luma —
+    # exact w_luma_masked_merge constants (round()ed, grad to 3 decimals)
+    maxw = round(dark_white * 255)
+    tresh = min(round(dark_thr * 255), maxw - 10)
+    grad = round(1.0 / (maxw - tresh), 3)
+    w = jnp.clip((y * 255.0 - tresh) * grad, 0.0, 1.0)
     r1 = rd * (1 - w) + r * w
     g1 = gd * (1 - w) + g * w
     b1 = bd * (1 - w) + b * w
@@ -110,9 +112,10 @@ def _post_math(
     v_d = jnp.clip(v * (1.0 + sm_bright), 0.0, 1.0)
     rs, gs, bs = _hsv_to_rgb(h, s_d, v_d)
     y1 = _luma(r1, g1, b1)
-    tresh = jnp.round(sm_black * 255.0)
-    maxw = jnp.round(sm_white * 255.0)
-    w = jnp.clip((y1 * 255.0 - tresh) / jnp.maximum(maxw - tresh, 1.0), 0.0, 1.0)
+    maxw = round(sm_white * 255)
+    tresh = min(round(sm_black * 255), maxw - 10)
+    grad = round(1.0 / (maxw - tresh), 3)
+    w = jnp.clip((y1 * 255.0 - tresh) * grad, 0.0, 1.0)
     r2 = rs * (1 - w) + r1 * w
     g2 = gs * (1 - w) + g1 * w
     b2 = bs * (1 - w) + b1 * w
@@ -173,16 +176,18 @@ def _post_chain_pallas_impl(frames: jnp.ndarray, params) -> jnp.ndarray:
     kw = dict(params)
     kw["cmap_ranges"] = tuple(tuple(r) for r in kw["cmap_ranges"])
 
-    t, h, w, _ = frames.shape
+    t, h0, w0, _ = frames.shape
+    # pad to (8, 128) tile multiples (TPU sublane/lane constraints), crop
+    # after — cheaper than shrinking tiles below hardware granularity
+    tile_h, tile_w = 8, 128
+    h = -(-h0 // tile_h) * tile_h
+    w = -(-w0 // tile_w) * tile_w
+    if (h, w) != (h0, w0):
+        frames = jnp.pad(
+            frames, ((0, 0), (0, h - h0), (0, w - w0), (0, 0)), mode="edge"
+        )
     # planar layout for clean (sublane, lane) tiling
     planar = frames.transpose(0, 3, 1, 2)  # (T, 3, H, W)
-
-    tile_h = 8
-    while h % tile_h and tile_h > 1:
-        tile_h //= 2
-    tile_w = 128
-    while w % tile_w and tile_w > 1:
-        tile_w //= 2
 
     grid = (t, h // tile_h, w // tile_w)
     spec = pl.BlockSpec(
@@ -207,7 +212,7 @@ def _post_chain_pallas_impl(frames: jnp.ndarray, params) -> jnp.ndarray:
         in_specs=[spec],
         out_specs=spec,
     )(planar)
-    return out.transpose(0, 2, 3, 1)
+    return out.transpose(0, 2, 3, 1)[:, :h0, :w0]
 
 
 def post_chain_pallas(frames: jnp.ndarray, **kw) -> jnp.ndarray:

@@ -155,3 +155,37 @@ class TestRemasterFlow:
         y_in = np.asarray(luma(jnp.asarray(frames)))
         y_out = np.asarray(luma(jnp.asarray(out)))
         assert np.abs(y_in - y_out).mean() < 0.1
+
+
+class TestDeepExMethodValidation:
+    """Error-path checks for the 7 reference-method ids (no model runs)."""
+
+    def _clip(self, n=4):
+        from havc_tpu.clip import from_frames
+
+        rng = np.random.default_rng(0)
+        return from_frames(rng.random((n, 32, 32, 3), dtype=np.float32))
+
+    def test_method_0_needs_clip_ref(self):
+        from havc_tpu.exemplar import HAVC_deepex
+
+        with pytest.raises(ValueError, match="requires clip_ref"):
+            HAVC_deepex(self._clip(), None, method=0, sc_framedir="/tmp/x")
+
+    def test_method_3_needs_framedir(self):
+        from havc_tpu.exemplar import HAVC_deepex
+
+        with pytest.raises(ValueError, match="requires sc_framedir"):
+            HAVC_deepex(self._clip(), self._clip(), method=3)
+
+    def test_refmerge_invalid_with_method_2(self):
+        from havc_tpu.exemplar import HAVC_deepex
+
+        with pytest.raises(ValueError, match="RefMerge"):
+            HAVC_deepex(self._clip(), self._clip(), method=2, ref_weight=0.5)
+
+    def test_no_flags_raises(self):
+        from havc_tpu.exemplar import HAVC_deepex
+
+        with pytest.raises(ValueError, match="scene-change flags"):
+            HAVC_deepex(self._clip(), self._clip(), method=0)
