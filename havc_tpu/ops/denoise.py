@@ -30,11 +30,11 @@ def nlm_luma(
 ) -> jnp.ndarray:
     """Non-local means on a luma plane (..., H, W) in [0,1].
 
-    ``h``: filtering strength (KNLMeans h, on the 0..255/64 scale the
-    plugin uses -> here scaled to [0,1] luma); ``a``: search radius;
-    ``f``: patch radius.
+    ``h``: filtering strength (KNLMeans-equivalent scale: h=1.2 removes
+    mild grain, calibrated so the exp weight of a sigma=0.05 noise patch
+    is O(1)); ``a``: search radius; ``f``: patch radius.
     """
-    h2 = (h / 64.0) ** 2
+    h2 = (h / 16.0) ** 2
     acc = jnp.zeros_like(y)
     wacc = jnp.zeros_like(y)
     for dy in range(-a, a + 1):

@@ -46,14 +46,25 @@ def test_luma_gate_blocks_black_frames():
     assert flags.sc_prev[8] == 0
 
 
-def test_frequency_forcing():
+def test_frequency_forcing_custom_path():
+    # custom detector path (threshold<0.10): the reference applies
+    # DEF_SC_MIN_DISTANCE=15 when no SSIM filter is configured
+    # (vsscdect.py:213-218), which suppresses forced frames inside the
+    # minimum distance — so freq=5 yields refs at 0, 15, ...
     clip = make_clip([(20, 0.4)])
     flags = scene_detect(clip, threshold=0.01, frequency=5, sc_tht_filter=0.0,
                          tht_offset=2)
+    forced = list(np.nonzero(flags.sc_prev)[0])
+    assert forced == [0, 15]
+
+
+def test_frequency_forcing_simple_path():
+    # simple detector path (threshold>=0.10): filter_black_white forces
+    # every freq-th frame without a minimum distance (vsscdect.py:253-255)
+    clip = make_clip([(20, 0.4)])
+    flags = scene_detect(clip, threshold=0.2, frequency=5)
     forced = np.nonzero(flags.sc_prev)[0]
-    assert 0 in forced
-    # every 5th frame forced (custom detector path)
-    for n in (5, 10, 15):
+    for n in (0, 5, 10, 15):
         assert n in forced
 
 
