@@ -26,6 +26,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent XLA compile cache: repeat bench runs skip the multi-minute
+    # 1080p pipeline compile
+    os.makedirs("/tmp/havc_xla_cache", exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/havc_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     on_tpu = jax.default_backend() == "tpu"
 
     from havc_tpu.models import ddcolor as dd

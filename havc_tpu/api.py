@@ -602,12 +602,14 @@ def HAVC_main_presets(
     color_fix: str = "violet/red",
     color_tune: str = "light",
     color_map: str = "none",
+    color_temp: str = "none",
     bw_tune: str = "none",
     enable_deep_ex: bool = False,
     sc_threshold: float = 0.0,
     sc_min_freq: int = 0,
     lut: Optional[int] = None,
     deflicker: bool = False,
+    engine_config: str = "micro",
     batch_size: int = 8,
 ) -> Clip:
     """Preset pipeline (HAVC_main_presets, __init__.py:469-912):
@@ -649,6 +651,22 @@ def HAVC_main_presets(
             batch_size=batch_size,
         )
 
+    # ColorTemp: temporal color stabilization by re-coloring through the
+    # second ColorMNet instance with the colorized clip as per-frame
+    # reference (__init__.py:888-894: sc_frequency=1 flags + HAVC_cmnet2
+    # with ref_merge=color_temp, render_vivid=True)
+    ct_id = presets.get_temp_color(color_temp)
+    if ct_id > 0:
+        from .exemplar import HAVC_cmnet2
+        from .scene.detect import SceneFlags
+
+        ref = colored.with_sc(SceneFlags.every(colored.num_frames, freq=1))
+        ref_weight = {1: 0.9, 2: 0.8, 3: 0.7, 4: 0.6, 5: 0.5}[ct_id]
+        colored = HAVC_cmnet2(
+            clip, ref, ref_weight=ref_weight, vivid=True,
+            dark=True, dark_p=(0.2, 0.8), smooth=True,
+            engine_config=engine_config,
+        )
     if lut is not None:
         colored = HAVC_TimeCube(colored, lut, batch_size=batch_size)
     if deflicker:
@@ -675,6 +693,7 @@ def HAVC_main(
     ColorFix: str = "violet/red",
     ColorTune: str = "light",
     ColorMap: str = "none",
+    ColorTemp: str = "none",
     BWTune: str = "none",
     EnableDeepEx: bool = False,
     ScThreshold: float = 0.0,
@@ -694,7 +713,7 @@ def HAVC_main(
     common = dict(
         color_model=ColorModel, comb_method=CombMethod, video_tune=VideoTune,
         color_fix=ColorFix, color_tune=ColorTune, color_map=ColorMap,
-        bw_tune=BWTune, enable_deep_ex=EnableDeepEx,
+        color_temp=ColorTemp, bw_tune=BWTune, enable_deep_ex=EnableDeepEx,
         sc_threshold=ScThreshold, sc_min_freq=ScMinFreq,
         batch_size=batch_size,
     )
