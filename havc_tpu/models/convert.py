@@ -179,3 +179,150 @@ def convert_checkpoint(
     params = convert_params(sd, key_map, strict=strict)
     save_params_npz(params, out_path)
     return params
+
+
+# --- spectral-norm folding ---------------------------------------------------
+
+
+def fold_spectral_norm(
+    state_dict: Dict[str, np.ndarray], n_power_iterations: int = 30
+) -> Dict[str, np.ndarray]:
+    """Fold torch spectral_norm parametrizations into plain weights.
+
+    DeOldify's convs are spectral-normalized (deoldify/layers.py:38 with
+    NormType.Spectral); checkpoints store ``weight_orig`` + ``weight_u``.
+    At inference the effective weight is ``W / sigma(W)`` with sigma
+    estimated by power iteration from the stored ``u`` — replicated here so
+    converted weights need no runtime normalization.
+    """
+    out = dict(state_dict)
+    for key in list(state_dict.keys()):
+        if not key.endswith(".weight_orig"):
+            continue
+        base = key[: -len(".weight_orig")]
+        w = np.asarray(state_dict[key], np.float64)
+        u = np.asarray(
+            state_dict.get(f"{base}.weight_u", np.ones(w.shape[0])), np.float64
+        )
+        w_mat = w.reshape(w.shape[0], -1)
+        u = u / (np.linalg.norm(u) + 1e-12)
+        for _ in range(n_power_iterations):
+            v = w_mat.T @ u
+            v /= np.linalg.norm(v) + 1e-12
+            u = w_mat @ v
+            u /= np.linalg.norm(u) + 1e-12
+        sigma = float(u @ w_mat @ v)
+        out[f"{base}.weight"] = (w / max(sigma, 1e-12)).astype(np.float32)
+        out.pop(key)
+        out.pop(f"{base}.weight_u", None)
+        out.pop(f"{base}.weight_v", None)
+    return out
+
+
+# --- Deep-Exemplar checkpoint layouts (attribute names from the published
+#     torch modules; see models/deepex.py) ----------------------------------
+
+
+def deepex_vgg19_key_map() -> dict:
+    """VGG19_pytorch (NonlocalNet.py:192-226): conv attributes are named
+    directly (conv1_1 .. conv5_2 on our extraction path)."""
+    names = [
+        "conv1_1", "conv1_2", "conv2_1", "conv2_2",
+        "conv3_1", "conv3_2", "conv3_3", "conv3_4",
+        "conv4_1", "conv4_2", "conv4_3", "conv4_4",
+        "conv5_1", "conv5_2",
+    ]
+    return {n: ((n, "Conv_0"), "conv") for n in names}
+
+
+def deepex_colorvid_key_map() -> dict:
+    """ColorVidNet (ColorVidNet.py:6-50).  BatchNorm2d(affine=False) stores
+    only running stats -> our _BNInfNoAffine mean/var."""
+    m = {}
+    # conv1_1 is a 2-conv Sequential
+    m["conv1_1.0"] = (("conv1_1a", "Conv_0"), "conv")
+    m["conv1_1.2"] = (("conv1_1b", "Conv_0"), "conv")
+    convs = [
+        "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2", "conv3_3",
+        "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2", "conv5_3",
+        "conv6_1", "conv6_2", "conv6_3", "conv7_1", "conv7_2", "conv7_3",
+        "conv3_3_short", "conv8_2", "conv8_3", "conv2_2_short", "conv9_2",
+        "conv1_2_short", "conv10_2", "conv10_ab",
+    ]
+    for n in convs:
+        m[n] = ((n, "Conv_0"), "conv")
+    for n in ["conv8_1", "conv9_1", "conv10_1"]:
+        m[n] = ((n, "ConvTranspose_0"), "convt")
+    for n in ["conv1_2norm", "conv2_2norm", "conv3_3norm", "conv4_3norm",
+              "conv5_3norm", "conv6_3norm", "conv7_3norm", "conv8_3norm",
+              "conv9_2norm"]:
+        m[n] = ((n,), "bn_noaffine")
+    for n in ["conv1_2norm_ss", "conv2_2norm_ss", "conv3_3norm_ss"]:
+        m[n] = ((n, "Conv_0"), "conv")
+    return m
+
+
+# extra rule kind for BatchNorm2d(affine=False)
+_KIND_RULES["bn_noaffine"] = {
+    "running_mean": ("mean", lambda t: t),
+    "running_var": ("var", lambda t: t),
+}
+
+
+def remaster_key_map() -> dict:
+    """DeepRemaster NetworkC (remasternet.py:103-161): Sequential indices
+    map onto our named TempConv blocks (models/remaster.py)."""
+    m = {}
+
+    def temp(prefix, path):
+        m[f"{prefix}.conv3d"] = (path + ("conv",), "conv3d")
+        m[f"{prefix}.bn"] = (path + (), "bn3d")
+
+    # down1: index 0 is ReplicationPad3d; TempConvs at 1..9 -> b0..b8
+    for i in range(9):
+        temp(f"down1.{i + 1}", ("down1", f"b{i}"))
+    temp("flat.0", ("flat0",))
+    temp("flat.1", ("flat1",))
+    temp("down2.0", ("down2_0",))
+    temp("down2.1", ("down2_1",))
+    for name in ("stattn1", "stattn2", "selfattn1", "selfattn2"):
+        for leaf in ("query", "key", "value"):
+            m[f"{name}.{leaf}_conv"] = ((name, leaf), "conv3d")
+    temp("conv1", ("conv1",))
+    temp("up1.conv3d", ("up1",))
+    temp("conv2", ("conv2",))
+    temp("up2.0", ("up2_0", "conv"))
+    temp("up2.1", ("up2_1",))
+    temp("up3.0", ("up3_0", "conv"))
+    temp("up3.1", ("up3_1",))
+    temp("up4.0", ("up4_0",))
+    m["up4.1"] = (("up4_out",), "conv3d")
+    for i in range(9):
+        temp(f"reffeatnet1.{i}", ("reffeatnet1", f"b{i}"))
+    temp("reffeatnet2.0", ("ref2_0",))
+    temp("reffeatnet2.1", ("ref2_1",))
+    temp("reffeatnet2.2", ("ref2_2",))
+    return m
+
+
+# conv3d: torch (O, I, kT, kH, kW) -> flax (kT, kH, kW, I, O)
+_KIND_RULES["conv3d"] = {
+    "weight": ("kernel", lambda t: np.transpose(t, (2, 3, 4, 1, 0))),
+    "bias": ("bias", lambda t: t),
+}
+# TempConv BatchNorm3d -> bn_scale/bn_bias/bn_mean/bn_var params
+_KIND_RULES["bn3d"] = {
+    "weight": ("bn_scale", lambda t: t),
+    "bias": ("bn_bias", lambda t: t),
+    "running_mean": ("bn_mean", lambda t: t),
+    "running_var": ("bn_var", lambda t: t),
+}
+
+__all__ += [
+    "fold_spectral_norm",
+    "deepex_vgg19_key_map",
+    "deepex_colorvid_key_map",
+    "remaster_key_map",
+    "save_params_npz",
+    "convert_checkpoint",
+]

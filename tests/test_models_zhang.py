@@ -171,3 +171,47 @@ def test_colorize_driver_preserves_luma():
     l_out = np.asarray(rgb_to_lab(jnp.asarray(out)))[..., 0]
     # L preserved through the ab-replacement driver
     assert np.abs(l_in - l_out).mean() < 1.5
+
+
+class TestExtraKeyMaps:
+    """Converter key maps for DeepEx/Remaster: coverage vs init trees."""
+
+    def test_vgg19_map_matches_init(self):
+        import jax.tree_util as jtu
+        from havc_tpu.models import convert as cv
+        from havc_tpu.models import deepex as dx
+
+        km = cv.deepex_vgg19_key_map()
+        rng = np.random.default_rng(0)
+        chans = {"conv1_1": (64, 3), "conv1_2": (64, 64), "conv2_1": (128, 64),
+                 "conv2_2": (128, 128), "conv3_1": (256, 128),
+                 "conv3_2": (256, 256), "conv3_3": (256, 256),
+                 "conv3_4": (256, 256), "conv4_1": (512, 256),
+                 "conv4_2": (512, 512), "conv4_3": (512, 512),
+                 "conv4_4": (512, 512), "conv5_1": (512, 512),
+                 "conv5_2": (512, 512)}
+        sd = {}
+        for name, (o, i) in chans.items():
+            sd[f"{name}.weight"] = rng.normal(0, 0.1, (o, i, 3, 3)).astype(np.float32)
+            sd[f"{name}.bias"] = np.zeros(o, np.float32)
+        params = cv.convert_params(sd, km)
+        ref = dx.VGG19Features().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )
+        ref_paths = {jtu.keystr(p) for p, _ in jtu.tree_flatten_with_path(ref)[0]}
+        got_paths = {jtu.keystr(p) for p, _ in jtu.tree_flatten_with_path(params)[0]}
+        assert got_paths == ref_paths
+        # and it runs
+        out = dx.VGG19Features().apply(params, jnp.zeros((1, 32, 32, 3)))
+        assert out[0].shape[-1] == 64
+
+    def test_spectral_fold_identity_scale(self):
+        from havc_tpu.models import convert as cv
+
+        rng = np.random.default_rng(1)
+        w = rng.normal(0, 1, (8, 4, 3, 3)).astype(np.float32)
+        sd = {"c.weight_orig": w, "c.weight_u": rng.normal(0, 1, 8).astype(np.float32)}
+        out = cv.fold_spectral_norm(sd)
+        wf = out["c.weight"].reshape(8, -1)
+        sigma = np.linalg.svd(wf, compute_uv=False)[0]
+        assert abs(sigma - 1.0) < 1e-3  # normalized to unit spectral norm
