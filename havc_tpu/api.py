@@ -148,22 +148,21 @@ def HAVC_colorizer(
 
     clipa_frames = clipb_frames = None
     if method != 1:
+        do_fn, do_params = engines.make_deoldify_fn(do_model, do_rf)
         clipa_frames = engines.colorize_gated(
-            work.frames, sc_prev,
-            lambda x: engines.deoldify_frames(x, model=do_model, render_factor=do_rf),
-            batch_size,
+            work.frames, sc_prev, do_fn, batch_size,
             jit_key=("deoldify", do_model, do_rf, frame_size, batch_size),
+            params=do_params,
         )
     if method != 0:
+        dd_fn, dd_params = engines.make_ddcolor_fn(
+            dd_model, dd_rf, tweaks_flags=ddtweak, tweaks=ddtweak_p
+        )
         clipb_frames = engines.colorize_gated(
-            work.frames, sc_prev,
-            lambda x: engines.ddcolor_frames(
-                x, model=dd_model, render_factor=dd_rf,
-                tweaks_flags=ddtweak, tweaks=ddtweak_p,
-            ),
-            batch_size,
+            work.frames, sc_prev, dd_fn, batch_size,
             jit_key=("ddcolor", dd_model, dd_rf, tuple(ddtweak),
                      str(ddtweak_p), frame_size, batch_size),
+            params=dd_params,
         )
 
     if method in (0, 1):

@@ -33,6 +33,8 @@ __all__ = [
     "EngineRegistry",
     "registry",
     "set_weights_dir",
+    "make_deoldify_fn",
+    "make_ddcolor_fn",
     "deoldify_frames",
     "ddcolor_frames",
     "zhang_frames",
@@ -135,36 +137,58 @@ def set_weights_dir(path: Optional[str]):
 # --- frame-batch colorizers --------------------------------------------------
 
 
-def deoldify_frames(
-    frames: jnp.ndarray, model: int = 0, render_factor: int = 24
-) -> jnp.ndarray:
-    """DeOldify adapter (vs_sc_deoldify semantics): model 0=Video,
-    1=Stable, 2=Artistic; Stable/Artistic outputs are blended 50/50 with
-    the Video output (DEF_STABLE/ARTISTIC_WEIGHT)."""
+def make_deoldify_fn(model: int = 0, render_factor: int = 24):
+    """Build (fn, params) for the DeOldify adapter (vs_sc_deoldify
+    semantics): model 0=Video, 1=Stable, 2=Artistic; Stable/Artistic
+    outputs are blended 50/50 with the Video output
+    (DEF_STABLE/ARTISTIC_WEIGHT).
+
+    Params are resolved HERE (outside any trace) and passed as explicit
+    jit arguments — closure-captured weights get serialized into the
+    program payload, which overflows remote-compile transports at full
+    geometry.
+    """
     from .models import deoldify as do
 
     names = {0: "video", 1: "stable", 2: "artistic"}
     name = names.get(model, "video")
     m, p = registry.deoldify(name)
-    out = do.colorize(p, frames, m, render_factor=render_factor)
     if name in ("stable", "artistic"):
         mv, pv = registry.deoldify("video")
-        out_video = do.colorize(pv, frames, mv, render_factor=render_factor)
         w = DEF_STABLE_WEIGHT if name == "stable" else DEF_ARTISTIC_WEIGHT
-        out = out_video * (1 - w) + out * w
-    return out
+
+        def fn(params, frames):
+            p1, p2 = params
+            out = do.colorize(p1, frames, m, render_factor=render_factor)
+            out_video = do.colorize(p2, frames, mv, render_factor=render_factor)
+            return out_video * (1 - w) + out * w
+
+        return fn, (p, pv)
+
+    def fn(params, frames):
+        return do.colorize(params, frames, m, render_factor=render_factor)
+
+    return fn, p
 
 
-def ddcolor_frames(
-    frames: jnp.ndarray,
+def deoldify_frames(
+    frames: jnp.ndarray, model: int = 0, render_factor: int = 24
+) -> jnp.ndarray:
+    """Eager convenience wrapper over make_deoldify_fn."""
+    fn, p = make_deoldify_fn(model, render_factor)
+    return fn(p, frames)
+
+
+def make_ddcolor_fn(
     model: int = 1,
     render_factor: int = 24,
     tweaks_flags=(False, False, False),
     tweaks=(DEF_TWEAK_p, "none"),
-) -> jnp.ndarray:
-    """DDColor adapter (vs_sc_ddcolor semantics): models 0=modelscope,
-    1=artistic, 2=siggraph17, 3=eccv16; ``input_size = trunc(rf/2)*32``;
-    optional tweak/denoise/retinex pre-filters with luma recovery."""
+):
+    """Build (fn, params) for the DDColor adapter (vs_sc_ddcolor
+    semantics): models 0=modelscope, 1=artistic, 2=siggraph17, 3=eccv16;
+    ``input_size = trunc(rf/2)*32``; optional tweak/denoise/retinex
+    pre-filters with luma recovery."""
     input_size = math.trunc(render_factor / 2) * 32
 
     tweaks_enabled, denoise_enabled, retinex_enabled = tweaks_flags
@@ -177,37 +201,56 @@ def ddcolor_frames(
     bright, cont, gamma, luma_constrained = t[0], t[1], t[2], t[3]
     luma_min, gamma_luma_min, gamma_alpha, gamma_min = t[4], t[5], t[6], t[7]
 
-    x = frames
-    if tweaks_enabled:
-        if retinex_enabled:
-            x = equalize.rgb_equalizer(x, method=5, strength=1.0)
-        elif luma_constrained:
-            x = op_tweak(x, bright=bright, cont=cont)
-            x = constrained_tweak(
-                x, luma_min=luma_min, gamma=gamma,
-                gamma_luma_min=gamma_luma_min, gamma_alpha=gamma_alpha,
-                gamma_min=gamma_min,
-            )
-        else:
-            x = op_tweak(x, bright=bright, cont=cont, gamma=gamma)
-
     if model > 1:
-        out = zhang_frames(x, "siggraph17" if model == 2 else "eccv16", input_size)
+        from .models import zhang as zh
+
+        zname = "siggraph17" if model == 2 else "eccv16"
+        m, p = registry.zhang(zname)
+        core = lambda params, x: zh.colorize(params, x, m, input_size=input_size)
     else:
         from .models import ddcolor as dd
 
         name = "modelscope" if model == 0 else "artistic"
         m, p = registry.ddcolor(name)
-        out = dd.colorize(p, x, m, input_size=input_size)
+        core = lambda params, x: dd.colorize(params, x, m, input_size=input_size)
 
-    if hue_adjust not in ("none", ""):
-        out = chroma_tweak(out, hue_adjust=hue_adjust)
-    if denoise_enabled:
-        out = equalize.rgb_balance(out, strength=0.3, rgb_factor=(0.98, 1.02, 1.0))
-        out = equalize.rgb_equalizer(out, method=0, strength=0.2, luma_blend_on=False)
-    if tweaks_enabled:
-        out = recover_clip_luma(frames, out)
-    return out
+    def fn(params, frames):
+        x = frames
+        if tweaks_enabled:
+            if retinex_enabled:
+                x = equalize.rgb_equalizer(x, method=5, strength=1.0)
+            elif luma_constrained:
+                x = op_tweak(x, bright=bright, cont=cont)
+                x = constrained_tweak(
+                    x, luma_min=luma_min, gamma=gamma,
+                    gamma_luma_min=gamma_luma_min, gamma_alpha=gamma_alpha,
+                    gamma_min=gamma_min,
+                )
+            else:
+                x = op_tweak(x, bright=bright, cont=cont, gamma=gamma)
+        out = core(params, x)
+        if hue_adjust not in ("none", ""):
+            out = chroma_tweak(out, hue_adjust=hue_adjust)
+        if denoise_enabled:
+            out = equalize.rgb_balance(out, strength=0.3, rgb_factor=(0.98, 1.02, 1.0))
+            out = equalize.rgb_equalizer(out, method=0, strength=0.2, luma_blend_on=False)
+        if tweaks_enabled:
+            out = recover_clip_luma(frames, out)
+        return out
+
+    return fn, p
+
+
+def ddcolor_frames(
+    frames: jnp.ndarray,
+    model: int = 1,
+    render_factor: int = 24,
+    tweaks_flags=(False, False, False),
+    tweaks=(DEF_TWEAK_p, "none"),
+) -> jnp.ndarray:
+    """Eager convenience wrapper over make_ddcolor_fn."""
+    fn, p = make_ddcolor_fn(model, render_factor, tweaks_flags, tweaks)
+    return fn(p, frames)
 
 
 def zhang_frames(
@@ -226,6 +269,7 @@ def colorize_gated(
     colorize_fn: Callable,
     batch_size: int = 8,
     jit_key=None,
+    params=None,
 ) -> np.ndarray:
     """Apply ``colorize_fn`` only on scene-change frames.
 
@@ -249,6 +293,9 @@ def colorize_gated(
         fn = cached_jit(("colorize_gated",) + tuple(jit_key), lambda: colorize_fn)
     else:
         fn = jax.jit(colorize_fn)
+    if params is not None:
+        base_fn = fn
+        fn = lambda chunk: base_fn(params, chunk)
     for start in range(0, len(idx), batch_size):
         sel = idx[start : start + batch_size]
         chunk = frames[sel]

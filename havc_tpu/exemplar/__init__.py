@@ -158,7 +158,8 @@ def colormnet_propagate(
     h16, w16 = engine.g16_hw
     P = h16 * w16
 
-    def step(carry, inputs):
+    def step(params, carry, inputs):
+        p_key, p_proj, p_value, p_dec, p_attn = params
         state, hidden, last_key, last_value, frame_idx = carry
         frame, rab, ref_flag = inputs
         frame_b = frame[None]
@@ -176,8 +177,8 @@ def colormnet_propagate(
 
             state = jax.lax.cond(ref_flag, clear, lambda s: s, state)
 
-        g16, g8, g4 = engine.key_encoder.apply(engine.p_key, frame_b)
-        key, shrink, sel = engine.key_proj.apply(engine.p_proj, g16)
+        g16, g8, g4 = engine.key_encoder.apply(p_key, frame_b)
+        key, shrink, sel = engine.key_proj.apply(p_proj, g16)
         qk = key[0].reshape(P, -1)
         qe = sel[0].reshape(P, -1)
 
@@ -187,19 +188,17 @@ def colormnet_propagate(
         # short-term: local window attention current-key -> last frame
         key_o = jnp.repeat(key, 2, axis=0)  # (2,h,w,Ck)
         last_key_o = jnp.repeat(last_key, 2, axis=0)
-        short = engine.local_attn.apply(
-            engine.p_attn, key_o, last_key_o, last_value
-        )
+        short = engine.local_attn.apply(p_attn, key_o, last_key_o, last_value)
         readout_total = mem_read + short
 
         hidden, logits = engine.decoder.apply(
-            engine.p_dec, g16, g8, g4, hidden, readout_total
+            p_dec, g16, g8, g4, hidden, readout_total
         )
         ab_pred = jnp.tanh(logits)[..., 0]  # (2, H, W)
         ab_used = jnp.where(ref_flag, rab.transpose(2, 0, 1), ab_pred)
 
         value16, hidden = engine.value_encoder.apply(
-            engine.p_value, frame_b, g16, hidden, ab_used[None]
+            p_value, frame_b, g16, hidden, ab_used[None]
         )  # value16: (2, h16, w16, Cv)
 
         tokens_v = value16.reshape(2, P, engine.value_dim)
@@ -220,11 +219,19 @@ def colormnet_propagate(
     key0 = jnp.zeros((1, h16, w16, engine.key_dim))
     value0 = jnp.zeros((2, h16, w16, engine.value_dim))
 
+    # Params travel as explicit jit ARGUMENTS: closure-captured arrays are
+    # serialized into the program payload, which blows past the axon remote
+    # compiler's HTTP body limit at full geometry (HTTP 413).
     scan_fn = cached_jit(
         ("colormnet_scan", engine.cfg_name, engine.h, engine.w, vivid),
-        lambda: lambda init, xs: jax.lax.scan(step, init, xs),
+        lambda: lambda params, init, xs: jax.lax.scan(
+            lambda c, x: step(params, c, x), init, xs
+        ),
     )
+    params = (engine.p_key, engine.p_proj, engine.p_value, engine.p_dec,
+              engine.p_attn)
     _, ab_seq = scan_fn(
+        params,
         (state0, hidden0, key0, value0, jnp.zeros((), jnp.int32)),
         (
             jnp.asarray(frames),
@@ -273,14 +280,15 @@ def deepex_propagate(
     lab_frames = np.asarray(rgb_to_lab(jnp.asarray(frames)))
     lab_refs = np.asarray(rgb_to_lab(jnp.asarray(refs)))
 
-    def step(carry, inputs):
+    def step(params, carry, inputs):
+        p_vgg, p_warp, p_color = params
         feats_b, ref_lab, last_lab = carry
         a_lab, r_lab, ref_flag = inputs
 
         # refresh cached reference features on scene change
         def refresh(_):
             rgb = lab_to_rgb(r_lab[None])
-            new_feats = engine.vgg.apply(engine.p_vgg, rgb)
+            new_feats = engine.vgg.apply(p_vgg, rgb)
             return new_feats, r_lab[None]
 
         feats_b, ref_lab = jax.lax.cond(
@@ -290,7 +298,7 @@ def deepex_propagate(
         last_lab = jnp.where(ref_flag, r_lab[None], last_lab)
 
         ab, warped, _ = dx.frame_colorization(
-            engine.p_vgg, engine.p_warp, engine.p_color,
+            p_vgg, p_warp, p_color,
             a_lab[None], ref_lab, last_lab, feats_b,
             engine.vgg, engine.warp, engine.color,
         )
@@ -305,9 +313,12 @@ def deepex_propagate(
 
     scan_fn = cached_jit(
         ("deepex_scan", engine.h, engine.w),
-        lambda: lambda init, xs: jax.lax.scan(step, init, xs),
+        lambda: lambda params, init, xs: jax.lax.scan(
+            lambda c, x: step(params, c, x), init, xs
+        ),
     )
     _, lab_seq = scan_fn(
+        (engine.p_vgg, engine.p_warp, engine.p_color),
         init,
         (
             jnp.asarray(lab_frames),
@@ -363,7 +374,7 @@ def remaster_propagate(
 
     fwd = cached_jit(
         ("remaster_fwd", H, W, length, ref_frames.shape[0]),
-        lambda: lambda l, r: engine.model.apply(engine.params, l, r),
+        lambda: lambda p, l, r: engine.model.apply(p, l, r),
     )
 
     outs = []
@@ -372,7 +383,7 @@ def remaster_propagate(
         n = chunk.shape[0]
         if n < length:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], length - n, 0)])
-        ab01 = np.asarray(fwd(jnp.asarray(chunk[None]), refs))[0][:n]
+        ab01 = np.asarray(fwd(engine.params, jnp.asarray(chunk[None]), refs))[0][:n]
         outs.append(ab01)
     ab01 = np.concatenate(outs)
     ab = np.clip(ab01 * 255.0 - 128.0, -100, 100)
