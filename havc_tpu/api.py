@@ -686,6 +686,7 @@ def HAVC_main_presets(
 def HAVC_main(
     clip: Clip,
     Preset: str = "medium",
+    FrameInterp: int = 0,
     ColorModel: str = "video+artistic",
     CombMethod: str = "constrained-chroma",
     VideoTune: str = "balanced",
@@ -708,6 +709,20 @@ def HAVC_main(
     HAVC_main_presets.
     """
     pr_id, deoldify_rf, ddcolor_rf = presets.get_render_factors(Preset)
+
+    # FrameInterp > 0: colorize only every Nth frame and interpolate the
+    # rest with the exemplar propagator (HAVC_main FrameInterp param ->
+    # HAVC_colorizer_fast, __init__.py:2160-2288)
+    if FrameInterp > 0:
+        do_model, dd_model, _ = presets.get_color_model(ColorModel)
+        return HAVC_colorizer_fast(
+            clip, sc_min_freq=FrameInterp,
+            method=presets.get_comb_method(CombMethod),
+            mweight=presets.get_mweight(VideoTune),
+            deoldify_p=(do_model, deoldify_rf, 1.0, 0.0),
+            ddcolor_p=(dd_model, ddcolor_rf, 1.0, 0.0, True),
+            batch_size=batch_size,
+        )
 
     common = dict(
         color_model=ColorModel, comb_method=CombMethod, video_tune=VideoTune,
@@ -1009,3 +1024,48 @@ def HAVC_SceneDetectMotion(
 
 
 __all__ += ["HAVC_degrain", "HAVC_SceneDetectMotion"]
+
+
+def HAVC_cmnet(clip: Clip, clip_ref: Optional[Clip] = None, **kwargs) -> Clip:
+    """First ColorMNet instance front-end (HAVC_cmnet; same body as
+    HAVC_deepex pinned to ex_model=0)."""
+    kwargs.setdefault("ex_model", 0)
+    return HAVC_deepex(clip, clip_ref, **kwargs)
+
+
+def HAVC_placebo_preset(clip: Clip, **kwargs) -> Clip:
+    """Tiled HD path (HAVC_placebo_preset, __init__.py:430-467)."""
+    return HAVC_main(clip, Preset="placebo", **kwargs)
+
+
+def HAVC_veryslow_preset(clip: Clip, **kwargs) -> Clip:
+    """Dual darkened-pass path (HAVC_veryslow_preset, __init__.py:341-428)."""
+    return HAVC_main(clip, Preset="veryslow", **kwargs)
+
+
+def ddeoldify_main(clip: Clip, *args, **kwargs) -> Clip:
+    """Deprecated legacy entry -> HAVC_main (__init__.py:3612)."""
+    import warnings
+
+    warnings.warn("ddeoldify_main() is deprecated; use HAVC_main()", DeprecationWarning)
+    return HAVC_main(clip, *args, **kwargs)
+
+
+def ddeoldify_stabilizer(clip: Clip, *args, **kwargs) -> Clip:
+    """Deprecated legacy entry -> HAVC_stabilizer."""
+    import warnings
+
+    warnings.warn(
+        "ddeoldify_stabilizer() is deprecated; use HAVC_stabilizer()",
+        DeprecationWarning,
+    )
+    return HAVC_stabilizer(clip, *args, **kwargs)
+
+
+__all__ += [
+    "HAVC_cmnet",
+    "HAVC_placebo_preset",
+    "HAVC_veryslow_preset",
+    "ddeoldify_main",
+    "ddeoldify_stabilizer",
+]
