@@ -105,9 +105,15 @@ class EngineRegistry:
             if os.path.exists(path):
                 return _load_npz_params(path)
         self.random_init_used = True
-        # Engine getters are often reached from inside a jit trace (the
-        # adapters close over the registry); params must be concrete arrays,
-        # not tracers, or the cache poisons every later trace.
+        # Engine getters may be reached from inside a jit trace (legacy
+        # eager adapters close over the registry); params must be concrete
+        # arrays, not tracers, or the cache poisons every later trace.
+        # ensure_compile_time_eval stages the whole init into ONE program —
+        # far too large for the remote-compile transport at resnet101
+        # scale — so only pay that cost when actually inside a trace.
+        in_trace = isinstance(jnp.zeros(()), jax.core.Tracer)
+        if not in_trace:
+            return init_fn()
         with jax.ensure_compile_time_eval():
             return init_fn()
 
