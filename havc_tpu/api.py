@@ -141,7 +141,9 @@ def HAVC_colorizer(
     frame_size = min(max(dd_rf, do_rf) * 16, clip.width)
     clip_orig = clip
     work = _batched(
-        clip, lambda x: resize(x, frame_size, frame_size, "spline64"), batch_size
+        clip,
+        lambda x: jnp.clip(resize(x, frame_size, frame_size, "spline64"), 0.0, 1.0),
+        batch_size,
     )
 
     sc_prev = clip.sc.sc_prev if (scenechange and clip.sc is not None) else None
@@ -226,6 +228,7 @@ def HAVC_stabilizer(
     stab_p=(5, "A", 1, 15, 0.2, 0.15),
     deflicker: bool = True,
     render_factor: int = 24,
+    use_pallas: bool = True,
     batch_size: int = 8,
 ) -> Clip:
     """Post-process chain: dark tweak -> chroma smoothing -> colormap ->
@@ -239,14 +242,53 @@ def HAVC_stabilizer(
     clip_orig = clip
     frame_size = min(render_factor * 16, clip.width)
     work = _batched(
-        clip, lambda x: resize(x, frame_size, frame_size, "spline64"), batch_size
+        clip,
+        lambda x: jnp.clip(resize(x, frame_size, frame_size, "spline64"), 0.0, 1.0),
+        batch_size,
     )
 
     dark_hue_adjust = dark_p[2] if len(dark_p) > 2 else "none"
     chroma_adjust = smooth_p[4] if len(smooth_p) > 4 else "none"
 
+    # fused Pallas fast path: dark + smooth + colormap in ONE kernel when
+    # the per-stage hue-DSL extras aren't used (they need the full DSL)
     x = work
-    if dark:
+    cmap_l = (colormap or "none").lower()
+    fusable = (
+        use_pallas
+        and dark and smooth
+        and dark_hue_adjust in ("none", "")
+        and chroma_adjust in ("none", "")
+    )
+    if fusable:
+        from .ops.chroma import parse_hue_adjust
+        from .ops.pallas_kernels import post_chain_pallas
+
+        cmap_ranges, cmap_hue, cmap_sat, cmap_w = (), 0.0, 1.0, 0.0
+        if cmap_l not in ("none", ""):
+            cmap_str = presets.get_colormap(cmap_l, "light") if "->" in cmap_l else cmap_l
+            pa = parse_hue_adjust(cmap_str)
+            if pa is not None:
+                cmap_ranges, cmap_sat, cmap_hue, cmap_w = (
+                    pa.ranges, pa.sat, float(pa.hue), pa.weight
+                )
+        d_white = min(max(dark_p[0], 0.1), 0.50)
+        d_sat = min(max(1.1 - dark_p[1], 0.10), 0.80)
+        d_bright = -min(max(dark_p[1], 0.20), 0.90)
+        x = x.with_frames(
+            np.asarray(
+                post_chain_pallas(
+                    jnp.asarray(np.asarray(x.frames)),
+                    dark_thr=0.1, dark_white=d_white, dark_sat=d_sat,
+                    dark_bright=d_bright,
+                    sm_black=smooth_p[0], sm_white=smooth_p[1],
+                    sm_sat=smooth_p[2], sm_bright=-smooth_p[3],
+                    cmap_ranges=cmap_ranges, cmap_hue_shift=cmap_hue,
+                    cmap_sat=cmap_sat, cmap_weight=cmap_w,
+                )
+            )
+        )
+    if dark and not fusable:
         x = _batched(
             x,
             lambda f: filters.dark_tweak(
@@ -255,7 +297,7 @@ def HAVC_stabilizer(
             ),
             batch_size,
         )
-    if smooth:
+    if smooth and not fusable:
         x = _batched(
             x,
             lambda f: filters.chroma_bright_tweak(
@@ -265,8 +307,8 @@ def HAVC_stabilizer(
             ),
             batch_size,
         )
-    cmap = (colormap or "none").lower()
-    if cmap not in ("none", ""):
+    cmap = cmap_l
+    if cmap not in ("none", "") and not fusable:
         cmap_adjust = presets.get_colormap(cmap, "light") if "->" in cmap else cmap
         x = _batched(
             x, lambda f: filters.colormap_filter(f, cmap_adjust), batch_size

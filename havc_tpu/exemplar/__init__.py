@@ -413,7 +413,8 @@ def _get_engine(kind: str, **kw):
 def _prepare_work(clip: Clip, speed: str, batch: int = 8):
     h, w = smart_resize_shape(clip.width, clip.height, speed)
     fn = cached_jit(
-        ("smart_resize", h, w), lambda: lambda x: resize(x, h, w, "spline64")
+        ("smart_resize", h, w),
+        lambda: lambda x: jnp.clip(resize(x, h, w, "spline64"), 0.0, 1.0),
     )
     return np.asarray(fn(jnp.asarray(np.asarray(clip.frames)))), (h, w)
 
@@ -559,7 +560,7 @@ def HAVC_deepex(
     work_refs = np.asarray(
         cached_jit(
             ("smart_resize", wh, ww),
-            lambda: lambda x: resize(x, wh, ww, "spline64"),
+            lambda: lambda x: jnp.clip(resize(x, wh, ww, "spline64"), 0.0, 1.0),
         )(jnp.asarray(ref_frames))
     )
 
@@ -717,7 +718,7 @@ def HAVC_DeepRemaster(
     work_refs = np.asarray(
         cached_jit(
             ("smart_resize", wh, ww),
-            lambda: lambda x: resize(x, wh, ww, "spline64"),
+            lambda: lambda x: jnp.clip(resize(x, wh, ww, "spline64"), 0.0, 1.0),
         )(jnp.asarray(refs))
     )
     engine = _get_engine("remaster")

@@ -326,3 +326,104 @@ __all__ += [
     "save_params_npz",
     "convert_checkpoint",
 ]
+
+
+# --- DeOldify (fastai DynamicUnetWide/Deep) checkpoint layout ---------------
+#
+# fastai saves learn.model.state_dict() where the model is
+# SequentialEx([encoder, bn, relu, middle_conv, unet_block x4,
+#               PixelShuffle_ICNR, MergeLayer, res_block, final_conv,
+#               SigmoidRange]) (deoldify/unet.py:208-281).  Run
+# ``fold_spectral_norm`` on the state_dict FIRST (all convs are
+# spectral-normalized).  Layout derived from the module structure; pin
+# against a real checkpoint before trusting bit-level parity.
+
+
+def _resnet_body_map(prefix: str, flax_root: str, layers: Sequence[int]) -> dict:
+    """torchvision resnet body wrapped by fastai create_body: children
+    Sequential indices 0..7 = conv1, bn1, relu, maxpool, layer1..4."""
+    m = {
+        f"{prefix}.0": ((flax_root, "conv1", "Conv_0"), "conv"),
+        f"{prefix}.1": ((flax_root, "bn1"), "bn"),
+    }
+    block_names = ["conv1", "bn1", "conv2", "bn2", "conv3", "bn3"]
+    for stage, n_blocks in enumerate(layers):
+        seq_idx = 4 + stage
+        for b in range(n_blocks):
+            base = f"{prefix}.{seq_idx}.{b}"
+            root = (flax_root, f"layer{stage + 1}_block{b}")
+            m[f"{base}.conv1"] = (root + ("conv1", "Conv_0"), "conv")
+            m[f"{base}.bn1"] = (root + ("bn1",), "bn")
+            m[f"{base}.conv2"] = (root + ("conv2", "Conv_0"), "conv")
+            m[f"{base}.bn2"] = (root + ("bn2",), "bn")
+            # bottleneck blocks have conv3/bn3 (harmless extra prefixes are
+            # skipped when absent because strict matching is per-suffix)
+            m[f"{base}.conv3"] = (root + ("conv3", "Conv_0"), "conv")
+            m[f"{base}.bn3"] = (root + ("bn3",), "bn")
+            m[f"{base}.downsample.0"] = (root + ("down_conv", "Conv_0"), "conv")
+            m[f"{base}.downsample.1"] = (root + ("down_bn",), "bn")
+    return m
+
+
+def _custom_conv_map(prefix: str, path: Tuple[str, ...], self_attention: bool = False) -> dict:
+    """custom_conv_layer (deoldify/layers.py:8-46) with NormType.Spectral:
+    Sequential(conv, [relu], bn, [SelfAttention]) -> indices conv=0, bn at
+    1 (use_activ=False) or 2, attention last."""
+    m = {
+        f"{prefix}.0": (path + ("conv", "Conv_0"), "conv"),
+        f"{prefix}.2": (path + ("bn",), "bn"),
+        # when use_activ=False the bn sits at index 1
+        f"{prefix}.1": (path + ("bn",), "bn"),
+    }
+    if self_attention:
+        base = f"{prefix}.3"
+        m[f"{base}.query"] = (path + ("attn", "query", "Conv_0"), "conv")
+        m[f"{base}.key"] = (path + ("attn", "key", "Conv_0"), "conv")
+        m[f"{base}.value"] = (path + ("attn", "value", "Conv_0"), "conv")
+        # gamma is a bare Parameter
+        m[f"{base}"] = (path + ("attn",), "gamma")
+    return m
+
+
+_KIND_RULES["gamma"] = {"gamma": ("gamma", lambda t: t)}
+
+
+def deoldify_wide_key_map(layers=(3, 4, 23, 3), n_blocks: int = 4) -> dict:
+    """Best-effort map for ColorizeVideo/Stable_gen (DynamicUnetWide over
+    resnet101).  UNVALIDATED against a real checkpoint (none in this
+    environment) — sequential indices follow deoldify/unet.py:208-281.
+
+    Use with ``strict=False`` and verify coverage with
+    tests-style tree comparison once a checkpoint is available.
+    """
+    m = _resnet_body_map("layers.0", "ResNetBody_0", layers)
+    m["layers.1"] = (("pre_bn",), "bn")
+    # middle_conv: Sequential of 2 custom_conv_layers (with activ+bn)
+    for i in range(2):
+        for k, v in _custom_conv_map(f"layers.3.{i}", (f"mid_conv{i + 1}",)).items():
+            m[k] = v
+    # unet blocks at indices 4..: shuf.conv (use_activ=False), bn, conv
+    for i in range(n_blocks):
+        base = f"layers.{4 + i}"
+        path = (f"up{i}",)
+        for k, v in _custom_conv_map(f"{base}.shuf.conv", path + ("shuf", "conv")).items():
+            m[k] = v
+        m[f"{base}.bn"] = (path + ("bn",), "bn")
+        sa = i == n_blocks - 3
+        for k, v in _custom_conv_map(f"{base}.conv", path + ("conv",), self_attention=sa).items():
+            m[k] = v
+    # final pixel shuffle (index 8): PixelShuffle_ICNR.conv
+    for k, v in _custom_conv_map("layers.8.conv", ("final_shuf", "conv")).items():
+        m[k] = v
+    # last_cross res_block (index 10): SequentialEx(conv_layer, conv_layer)
+    for i in range(2):
+        for k, v in _custom_conv_map(
+            f"layers.10.layers.{i}", ("last_cross", f"conv{i + 1}")
+        ).items():
+            m[k] = v
+    # final 1x1 conv (index 11)
+    m["layers.11.0"] = (("head_conv", "Conv_0"), "conv")
+    return m
+
+
+__all__ += ["deoldify_wide_key_map"]
