@@ -78,9 +78,16 @@ class ColorMNetEngine:
     published geometry (resnet50 + DINOv2-S/14, Ck=64, Cv=512).
     """
 
-    def __init__(self, config: str = "full", work_size=(224, 384), seed: int = 0):
+    def __init__(self, config: str = "full", work_size=(224, 384), seed: int = 0,
+                 dtype=None):
         from ..models import colormnet as cm
         from ..models.memory import MemoryConfig
+
+        # bf16 by default on TPU: 3.3x faster scan (24 vs 7.3 fps at full
+        # geometry), chroma quantization comparable to uint8
+        if dtype is None:
+            dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        self.dtype = dtype
 
         self.cfg_name = config
         c = cm.COLORMNET_CONFIGS[config]
@@ -117,6 +124,14 @@ class ColorMNetEngine:
         )
         self._init_params(seed)
 
+    def _cast(self, tree):
+        return jax.tree.map(
+            lambda x: x.astype(self.dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
+
     def _init_params(self, seed):
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, self.h, self.w, 3), jnp.float32)
@@ -133,6 +148,12 @@ class ColorMNetEngine:
         v = jnp.zeros((2, g16.shape[1], g16.shape[2], self.value_dim))
         self.p_attn = self.local_attn.init(rng, k, k, v)
         self.g16_hw = (g16.shape[1], g16.shape[2])
+        if self.dtype != jnp.float32:
+            self.p_key = self._cast(self.p_key)
+            self.p_proj = self._cast(self.p_proj)
+            self.p_value = self._cast(self.p_value)
+            self.p_dec = self._cast(self.p_dec)
+            self.p_attn = self._cast(self.p_attn)
 
 
 def colormnet_propagate(
@@ -214,16 +235,18 @@ def colormnet_propagate(
         new_carry = (state, hidden, key, value16, frame_idx + 1)
         return new_carry, ab_used.transpose(1, 2, 0)
 
-    state0 = mem.init_memory(cfg)
-    hidden0 = jnp.zeros((2, h16, w16, engine.hidden_dim))
-    key0 = jnp.zeros((1, h16, w16, engine.key_dim))
-    value0 = jnp.zeros((2, h16, w16, engine.value_dim))
+    dtype = getattr(engine, "dtype", jnp.asarray(frames).dtype)
+    state0 = mem.init_memory(cfg, dtype=dtype)
+    hidden0 = jnp.zeros((2, h16, w16, engine.hidden_dim), dtype)
+    key0 = jnp.zeros((1, h16, w16, engine.key_dim), dtype)
+    value0 = jnp.zeros((2, h16, w16, engine.value_dim), dtype)
 
     # Params travel as explicit jit ARGUMENTS: closure-captured arrays are
     # serialized into the program payload, which blows past the axon remote
     # compiler's HTTP body limit at full geometry (HTTP 413).
     scan_fn = cached_jit(
-        ("colormnet_scan", engine.cfg_name, engine.h, engine.w, vivid),
+        ("colormnet_scan", engine.cfg_name, engine.h, engine.w, vivid,
+         str(dtype)),
         lambda: lambda params, init, xs: jax.lax.scan(
             lambda c, x: step(params, c, x), init, xs
         ),
@@ -234,12 +257,12 @@ def colormnet_propagate(
         params,
         (state0, hidden0, key0, value0, jnp.zeros((), jnp.int32)),
         (
-            jnp.asarray(frames),
-            jnp.asarray(ref_ab),
+            jnp.asarray(frames, dtype),
+            jnp.asarray(ref_ab, dtype),
             jnp.asarray(is_ref.astype(bool)),
         ),
     )
-    return np.asarray(ab_seq)
+    return np.asarray(ab_seq, np.float32)
 
 
 # ---------------------------------------------------------------------------

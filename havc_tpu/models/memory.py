@@ -217,5 +217,8 @@ def read_memory(
     # consolidation ranking)
     n_perm = state.perm_valid.shape[0]
     work_usage_delta = usage[n_perm : n_perm + wf * p].reshape(wf, p)
-    state = state._replace(work_usage=state.work_usage + work_usage_delta)
+    state = state._replace(
+        work_usage=state.work_usage
+        + work_usage_delta.astype(state.work_usage.dtype)
+    )
     return out.astype(state.work_values.dtype), state

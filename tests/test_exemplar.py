@@ -129,8 +129,9 @@ class TestColorMNetFlow:
         ab = colormnet_propagate(eng, frames, ref_ab, is_ref)
         assert ab.shape == (4, 32, 32, 2)
         assert np.isfinite(ab).all()
-        # reference frame passes its ab through exactly
-        assert np.abs(ab[0] - ref_ab[0]).max() < 1e-5
+        # reference frame passes its ab through up to the engine's compute
+        # dtype quantization (bf16 by default on TPU: rel ~2^-8)
+        assert np.abs(ab[0] - ref_ab[0]).max() < 5e-3
         # predictions bounded by tanh
         assert np.abs(ab[1:]).max() <= 1.0
 
