@@ -6,6 +6,11 @@ the tolerances used here.
 """
 import os
 
+# Prefer CPU (the suite runs ~5x faster than through a tunneled TPU, with
+# identical numerics at test tolerances).  setdefault only: when a platform
+# plugin registered itself at interpreter start (axon sitecustomize), a
+# post-hoc override here cannot take effect — to force CPU launch with
+#   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
