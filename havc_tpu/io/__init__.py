@@ -1,5 +1,6 @@
 """Host video / image-sequence IO (replaces LSMASHSource + frame export)."""
 
+from .stream import process_video, stream_batches  # noqa: F401
 from .video import (  # noqa: F401
     read_video,
     write_video,

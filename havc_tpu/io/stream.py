@@ -1,0 +1,111 @@
+"""Streaming video processing with bounded memory.
+
+The Clip abstraction holds a whole clip in host memory — right for the
+filter-graph semantics, wrong for feature-length footage.  This module is
+the production-serving path: decode -> batched device compute -> encode as
+a pipeline with a bounded prefetch queue, so an arbitrarily long video
+runs in O(batch) memory.  Decode runs on a background thread (cv2 or the
+native Y4M ring, io/native.py); JAX async dispatch overlaps the next
+batch's host->device copy with current compute (the double-buffered
+loader of SURVEY 2.5's TPU-native design).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+import cv2
+
+__all__ = ["stream_batches", "process_video"]
+
+
+def _decode_worker(path: str, batch_size: int, out_q: queue.Queue, count=None):
+    cap = cv2.VideoCapture(path)
+    try:
+        batch = []
+        n = 0
+        while cap.isOpened():
+            if count is not None and n >= count:
+                break
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            batch.append(
+                cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+            )
+            n += 1
+            if len(batch) == batch_size:
+                out_q.put(np.stack(batch))
+                batch = []
+        if batch:
+            out_q.put(np.stack(batch))
+    finally:
+        cap.release()
+        out_q.put(None)  # EOF sentinel
+
+
+def stream_batches(
+    path: str, batch_size: int = 8, prefetch: int = 4, count: Optional[int] = None
+) -> Iterator[np.ndarray]:
+    """Yield (B, H, W, 3) float32 RGB batches with background decode."""
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    t = threading.Thread(
+        target=_decode_worker, args=(path, batch_size, q, count), daemon=True
+    )
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        yield item
+    t.join()
+
+
+def process_video(
+    path_in: str,
+    path_out: str,
+    fn: Callable[[np.ndarray], np.ndarray],
+    batch_size: int = 8,
+    prefetch: int = 4,
+    count: Optional[int] = None,
+    codec: str = "mp4v",
+) -> int:
+    """Stream a video through a batched frame function.
+
+    ``fn`` maps (B, H, W, 3) float32 RGB [0,1] -> same shape (typically a
+    jitted colorize pipeline).  The tail batch is padded to ``batch_size``
+    so ``fn`` compiles exactly once.  Encode happens on the main thread
+    while the decode thread fills the queue.  Returns frames written.
+    """
+    import jax.numpy as jnp
+
+    cap = cv2.VideoCapture(path_in)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    cap.release()
+    writer = cv2.VideoWriter(
+        path_out, cv2.VideoWriter_fourcc(*codec), fps, (w, h)
+    )
+    if not writer.isOpened():
+        raise IOError(f"cannot open video writer: {path_out}")
+
+    written = 0
+    try:
+        for batch in stream_batches(path_in, batch_size, prefetch, count):
+            n = batch.shape[0]
+            if n < batch_size:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], batch_size - n, axis=0)]
+                )
+            out = np.asarray(fn(jnp.asarray(batch)))[:n]
+            for frame in out:
+                u8 = (np.clip(frame, 0, 1) * 255).round().astype(np.uint8)
+                writer.write(cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
+                written += 1
+    finally:
+        writer.release()
+    return written
