@@ -1,0 +1,84 @@
+"""Clip-level filters + HAVC_main tiled path + memory vivid semantics."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from havc_tpu import filters
+from havc_tpu.ops.colorspace import luma, rgb_to_hsv
+
+
+class TestFilters:
+    def test_dark_tweak_darkens_only_dark(self):
+        img = np.zeros((1, 8, 16, 3), np.float32)
+        img[:, :, :8] = 0.05  # dark half
+        img[:, :, 8:] = 0.8  # bright half
+        out = np.asarray(filters.dark_tweak(jnp.asarray(img), 0.3, 0.8))
+        assert out[0, 0, 0, 0] <= img[0, 0, 0, 0] + 1e-6  # dark got darker
+        assert np.abs(out[0, 0, 12] - img[0, 0, 12]).max() < 1e-5  # bright kept
+
+    def test_chroma_bright_tweak_desaturates_dark(self):
+        img = np.zeros((1, 8, 16, 3), np.float32)
+        img[..., 0] = 0.25  # dark red
+        out = np.asarray(
+            filters.chroma_bright_tweak(jnp.asarray(img), 0.3, 0.7, 0.5, 0.0)
+        )
+        s_in = np.asarray(rgb_to_hsv(jnp.asarray(img)))[..., 1]
+        s_out = np.asarray(rgb_to_hsv(jnp.asarray(out)))[..., 1]
+        assert s_out.mean() < s_in.mean()
+
+    def test_colormap_none_identity(self, rgb_batch):
+        out = np.asarray(filters.colormap_filter(jnp.asarray(rgb_batch), "none"))
+        assert np.abs(out - rgb_batch).max() < 1e-6
+
+    def test_recover_clip_luma(self, rgb_batch):
+        a, b = jnp.asarray(rgb_batch[:1]), jnp.asarray(rgb_batch[1:])
+        out = filters.recover_clip_luma(a, b)
+        y_out = np.asarray(luma(out))
+        y_a = np.asarray(luma(a))
+        assert np.abs(y_out - y_a).mean() < 0.01
+
+    def test_chroma_resize_restore_shapes(self, rng):
+        hi = jnp.asarray(rng.random((2, 64, 96, 3), dtype=np.float32))
+        lo = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+        out = filters.chroma_resize_restore(hi, lo)
+        assert out.shape == hi.shape
+
+    def test_constrained_tweak_lifts_dark_frame(self):
+        img = np.full((1, 16, 16, 3), 0.05, np.float32)
+        out = np.asarray(
+            filters.constrained_tweak(jnp.asarray(img), luma_min=0.2)
+        )
+        assert np.asarray(luma(jnp.asarray(out))).mean() > 0.15
+
+
+class TestMemoryVivid:
+    def test_vivid_reset_clears_memory(self):
+        from havc_tpu.exemplar import ColorMNetEngine, colormnet_propagate
+
+        eng = ColorMNetEngine(config="micro", work_size=(32, 32))
+        rng = np.random.default_rng(0)
+        T = 6
+        frames = rng.random((T, 32, 32, 3), dtype=np.float32)
+        ref_ab = rng.random((T, 32, 32, 2), dtype=np.float32) * 2 - 1
+        is_ref = np.zeros(T, bool)
+        is_ref[0] = is_ref[3] = True
+        ab_v = colormnet_propagate(eng, frames, ref_ab, is_ref, vivid=True)
+        ab_n = colormnet_propagate(eng, frames, ref_ab, is_ref, vivid=False)
+        assert np.isfinite(ab_v).all() and np.isfinite(ab_n).all()
+        # both pass refs through
+        assert np.abs(ab_v[0] - ab_n[0]).max() < 5e-3
+
+
+class TestPlaceboTiled:
+    def test_main_placebo_path(self, rng):
+        import havc_tpu
+        from havc_tpu.clip import from_frames
+
+        g = np.tile(rng.random((4, 64, 96, 1), dtype=np.float32), (1, 1, 1, 3))
+        clip = from_frames(g)
+        out = havc_tpu.HAVC_main(
+            clip, Preset="placebo", ColorModel="zhang(eccv16)", batch_size=4
+        )
+        assert out.num_frames == 4
+        assert out.height == 64 and out.width == 96
+        assert np.isfinite(np.asarray(out.frames)).all()
