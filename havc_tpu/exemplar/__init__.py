@@ -162,7 +162,9 @@ def colormnet_propagate(
     ref_ab: np.ndarray,  # (T, H, W, 2) normalized ab in [-1,1] (refs only)
     is_ref: np.ndarray,  # (T,) bool: reference (scene-change) frames
     vivid: bool = False,  # reset frame memory at every reference update
-) -> np.ndarray:
+    resume_state=None,  # carry from a previous chunk (chunked/streaming)
+    return_state: bool = False,
+):
     """Scan the clip through the memory network; returns (T, H, W, 2)
     normalized ab predictions.
 
@@ -236,10 +238,14 @@ def colormnet_propagate(
         return new_carry, ab_used.transpose(1, 2, 0)
 
     dtype = getattr(engine, "dtype", jnp.asarray(frames).dtype)
-    state0 = mem.init_memory(cfg, dtype=dtype)
-    hidden0 = jnp.zeros((2, h16, w16, engine.hidden_dim), dtype)
-    key0 = jnp.zeros((1, h16, w16, engine.key_dim), dtype)
-    value0 = jnp.zeros((2, h16, w16, engine.value_dim), dtype)
+    if resume_state is not None:
+        carry0 = resume_state
+    else:
+        state0 = mem.init_memory(cfg, dtype=dtype)
+        hidden0 = jnp.zeros((2, h16, w16, engine.hidden_dim), dtype)
+        key0 = jnp.zeros((1, h16, w16, engine.key_dim), dtype)
+        value0 = jnp.zeros((2, h16, w16, engine.value_dim), dtype)
+        carry0 = (state0, hidden0, key0, value0, jnp.zeros((), jnp.int32))
 
     # Params travel as explicit jit ARGUMENTS: closure-captured arrays are
     # serialized into the program payload, which blows past the axon remote
@@ -253,16 +259,23 @@ def colormnet_propagate(
     )
     params = (engine.p_key, engine.p_proj, engine.p_value, engine.p_dec,
               engine.p_attn)
-    _, ab_seq = scan_fn(
+    final_carry, ab_seq = scan_fn(
         params,
-        (state0, hidden0, key0, value0, jnp.zeros((), jnp.int32)),
+        carry0,
         (
             jnp.asarray(frames, dtype),
             jnp.asarray(ref_ab, dtype),
             jnp.asarray(is_ref.astype(bool)),
         ),
     )
-    return np.asarray(ab_seq, np.float32)
+    out = np.asarray(ab_seq, np.float32)
+    if return_state:
+        # The carry is a plain pytree of arrays: serializable (np.savez /
+        # orbax) for mid-video checkpoint/resume — a capability the
+        # reference lacks (SURVEY 5: "no mid-video resume"; its de-facto
+        # restartable intermediate is the ref-frame export).
+        return out, final_carry
+    return out
 
 
 # ---------------------------------------------------------------------------

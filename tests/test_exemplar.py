@@ -190,3 +190,29 @@ class TestDeepExMethodValidation:
 
         with pytest.raises(ValueError, match="scene-change flags"):
             HAVC_deepex(self._clip(), self._clip(), method=0)
+
+
+@pytest.mark.slow
+class TestChunkedResume:
+    def test_chunked_equals_whole(self):
+        """Chunked propagation with carried state == one-shot scan —
+        mid-video checkpoint/resume the reference cannot do."""
+        from havc_tpu.exemplar import ColorMNetEngine, colormnet_propagate
+
+        eng = ColorMNetEngine(config="micro", work_size=(32, 32))
+        rng = np.random.default_rng(7)
+        T = 6
+        frames = rng.random((T, 32, 32, 3), dtype=np.float32)
+        ref_ab = rng.random((T, 32, 32, 2), dtype=np.float32) * 2 - 1
+        is_ref = np.zeros(T, bool)
+        is_ref[0] = True
+
+        whole = colormnet_propagate(eng, frames, ref_ab, is_ref)
+        ab1, state = colormnet_propagate(
+            eng, frames[:3], ref_ab[:3], is_ref[:3], return_state=True
+        )
+        ab2 = colormnet_propagate(
+            eng, frames[3:], ref_ab[3:], is_ref[3:], resume_state=state
+        )
+        chunked = np.concatenate([ab1, ab2])
+        assert np.abs(chunked - whole).max() < 5e-3
