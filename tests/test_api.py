@@ -143,3 +143,41 @@ class TestUtilities:
             bw_clip, color, chroma_resize=False, batch_size=4
         )
         assert out.num_frames == 6
+
+
+class TestGlobalSetters:
+    def test_set_tweak_params(self):
+        out = havc_tpu.HAVC_set_tweak_params(bright=0.1, gamma=2.0)
+        assert out[0] == 0.1 and out[2] == 2.0
+
+    def test_set_merge_params(self):
+        out = havc_tpu.HAVC_set_merge_params(cmc_p=[0.2, False, 10, 12])
+        assert out["cmc"] == [0.2, False, 10, 12]
+
+    def test_legacy_shims_warn(self, bw_clip):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            havc_tpu.ddeoldify_stabilizer(bw_clip, render_factor=16, batch_size=4)
+            assert any(issubclass(x.category, DeprecationWarning) for x in w)
+
+
+class TestColorTuneEdges:
+    def test_retinex_red_special_case(self):
+        dd_tweak, hr, hr2, ca, ca2 = presets.get_color_tune(
+            "medium", "retinex/red", "none", dd_model=1
+        )
+        assert dd_tweak[0] and dd_tweak[2]  # tweaks + retinex enabled
+        assert hr.startswith("300:360|")
+
+    def test_custom_colormap_string_passthrough(self):
+        _, _, _, ca, ca2 = presets.get_color_tune(
+            "light", "none", "180:280|+140,0.9", dd_model=1
+        )
+        assert ca == "180:280|+140,0.9"
+        assert ca2 == "none"
+
+    def test_invalid_colormap_raises(self):
+        with pytest.raises(ValueError):
+            presets.get_color_tune("light", "none", "sepiatone", dd_model=1)
