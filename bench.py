@@ -1,6 +1,6 @@
 """Benchmark: end-to-end HAVC classic colorization throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Measures the full BASELINE config #4 pipeline ("Blended DeOldify+DDColor
 with temporal chroma-smoothing") per-frame at 1080p:
@@ -19,18 +19,47 @@ device) synchronized by a single 1-pixel transfer; the same-length chain
 of a trivial op is measured first and subtracted to remove per-dispatch
 overhead.  On directly-attached hardware the correction is negligible.
 
+Robustness (the round-1 artifact was rc=1 with zero numbers): the actual
+measurement runs in a child subprocess under a timeout.  The orchestrator
+first probes the default backend (the tunneled TPU can be unreachable for
+hours); if the probe or the TPU child fails, the bench re-runs on the CPU
+host platform with a reduced geometry and emits the number with an
+explicit ``backend`` marker instead of crashing.  One JSON line is
+printed in every case.
+
 Baseline target: >=30 fps 1080p per chip (BASELINE.json north star).
 Engines run at the published geometry with initialized weights (wall-clock
 cost is weight-independent).
 """
 import json
 import os
+import subprocess
+import sys
 import time
 
-import numpy as np
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_METRIC = "1080p_DD_pipeline_fps_per_chip"
 
 
-def main():
+def _emit(value, backend, note=None, extra=None):
+    rec = {
+        "metric": _METRIC,
+        "value": round(float(value), 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(float(value) / 30.0, 3),
+        "backend": backend,
+    }
+    if note:
+        rec["note"] = note
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+
+
+def run_child():
+    """The measurement body.  Runs on whatever backend this process gets;
+    prints one JSON line on success."""
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +70,8 @@ def main():
     except Exception:
         pass
 
-    on_tpu = jax.default_backend() == "tpu"
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
 
     from havc_tpu.models import ddcolor as dd
     from havc_tpu.models import deoldify as do
@@ -116,17 +146,92 @@ def main():
     t_compute = max(t_pipeline - t_overhead, 1e-6)
     fps = BATCH * n_iters / t_compute
 
-    print(
-        json.dumps(
-            {
-                "metric": "1080p_DD_pipeline_fps_per_chip",
-                "value": round(fps, 3),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / 30.0, 3),
-            }
+    note = None
+    if not on_tpu:
+        note = (
+            "TPU backend unavailable; CPU host fallback at reduced model "
+            "geometry (not comparable to the 30fps/1080p target)"
         )
-    )
+    _emit(fps, backend, note=note)
+
+
+def _probe_backend(timeout_s: float = 90.0, attempts: int = 3):
+    """Ask a clean subprocess for the default backend; the tunneled TPU can
+    hang indefinitely, so every probe is timeout-bounded with backoff."""
+    code = "import jax; print('BACKEND=' + jax.default_backend())"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s,
+                capture_output=True,
+                text=True,
+                cwd=_REPO,
+            )
+            for line in reversed((r.stdout or "").splitlines()):
+                if line.startswith("BACKEND="):
+                    return line.split("=", 1)[1].strip()
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(15.0 * (i + 1))
+    return None
+
+
+def _run_child_subprocess(force_cpu: bool, timeout_s: float):
+    env = dict(os.environ)
+    if force_cpu:
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env.pop("AXON_POOL_SVC_OVERRIDE", None)
+        env["JAX_PLATFORMS"] = "cpu"
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed((r.stdout or "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main():
+    backend = _probe_backend()
+    if backend is not None and backend != "cpu":
+        rec = _run_child_subprocess(force_cpu=False, timeout_s=2400.0)
+        if rec is not None:
+            print(json.dumps(rec))
+            return
+        note_prefix = "TPU bench child failed/timed out; "
+    elif backend == "cpu":
+        note_prefix = ""
+    else:
+        note_prefix = "TPU backend probe unreachable (3 attempts); "
+
+    rec = _run_child_subprocess(force_cpu=True, timeout_s=2400.0)
+    if rec is not None:
+        if note_prefix and "note" in rec:
+            rec["note"] = note_prefix + rec["note"]
+        print(json.dumps(rec))
+        return
+    _emit(0.0, "none", note=note_prefix + "CPU fallback bench also failed")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        if "--child" in sys.argv:
+            run_child()
+        else:
+            main()
+    except Exception as e:  # never exit without the JSON line
+        _emit(0.0, "error", note=f"{type(e).__name__}: {e}"[:300])

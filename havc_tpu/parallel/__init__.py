@@ -5,4 +5,5 @@ from .mesh import (  # noqa: F401
     shard_frames,
     replicate,
     sharded_pipeline_step,
+    sharded_engine_step,
 )

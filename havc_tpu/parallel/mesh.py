@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_frames", "replicate", "sharded_pipeline_step"]
+__all__ = [
+    "make_mesh",
+    "shard_frames",
+    "replicate",
+    "sharded_pipeline_step",
+    "sharded_engine_step",
+]
 
 
 def make_mesh(n_devices: Optional[int] = None, data: Optional[int] = None,
@@ -98,3 +104,61 @@ def sharded_pipeline_step(mesh: Mesh, method: int = 3):
         in_shardings=(in_sharding,),
         out_shardings=(in_sharding, NamedSharding(mesh, P())),
     )
+
+
+def sharded_engine_step(mesh: Mesh, config: str = "tiny", input_size: int = 64,
+                        work: int = 64):
+    """Full pipeline step with a REAL model engine under the mesh.
+
+    This is what ``__graft_entry__.dryrun_multichip`` compiles: the DDColor
+    forward (ConvNeXt encoder + color-query decoder — where the FLOPs are)
+    runs **data-parallel over every device** (frame batch sharded over the
+    flattened ``data x model`` axes, params replicated), then the chroma
+    post chain is re-sharded **spatially** (frames on ``data``, height on
+    ``model``) and a global-luma reduction forces a cross-device collective
+    (``psum`` over both axes).  Mapping per SURVEY §2.5: frames are
+    independent in the classic path, so DP is the natural scale-out; the
+    spatial axis exercises the resharding the tiled/placebo paths use.
+
+    Returns ``(step_fn, params)``; call as ``step_fn(params, frames)`` with
+    ``frames`` of shape (T, H, W, 3), T divisible by the mesh size and H
+    divisible by the ``model`` axis.
+    """
+    from ..models import ddcolor as dd
+    from ..ops import merge as merge_ops
+    from ..ops.pallas_kernels import post_chain_reference
+
+    model = dd.DDColor.from_config(config)
+    params = dd.init_params(model, input_size=input_size)
+
+    batch_all = NamedSharding(mesh, P(("data", "model")))
+    spatial = NamedSharding(mesh, P("data", "model"))
+    repl = NamedSharding(mesh, P())
+
+    post_kw = dict(
+        dark_thr=0.1, dark_white=0.3, dark_sat=0.3, dark_bright=-0.8,
+        sm_black=0.3, sm_white=0.7, sm_sat=0.9, sm_bright=0.0,
+        cmap_ranges=((300.0, 360.0),), cmap_hue_shift=0.0, cmap_sat=0.8,
+        cmap_weight=0.1,
+    )
+
+    def step(p, frames):
+        colored = dd.colorize(p, frames, model, input_size=input_size)
+        # merge against the (gray) input — method 2 SimpleMerge keeps the
+        # dryrun compile light; heavier merges shard identically
+        merged = merge_ops.combine_models(frames, colored, method=2, b_weight=0.5)
+        # re-shard: frames on data, height on model (post ops are local)
+        merged = jax.lax.with_sharding_constraint(merged, spatial)
+        out = post_chain_reference(merged, **post_kw)
+        out = jnp.clip(out, 0.0, 1.0)
+        from ..ops.colorspace import luma
+
+        global_luma = jnp.mean(luma(out))  # cross-device reduction
+        return out, global_luma
+
+    step_fn = jax.jit(
+        step,
+        in_shardings=(repl, batch_all),
+        out_shardings=(spatial, repl),
+    )
+    return step_fn, params

@@ -7,16 +7,24 @@ the tolerances used here.
 import os
 
 # Prefer CPU (the suite runs ~5x faster than through a tunneled TPU, with
-# identical numerics at test tolerances).  setdefault only: when a platform
-# plugin registered itself at interpreter start (axon sitecustomize), a
-# post-hoc override here cannot take effect — to force CPU launch with
-#   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/
+# identical numerics at test tolerances).  When a platform plugin registered
+# itself at interpreter start (axon sitecustomize), the JAX_PLATFORMS env
+# write is too late (jax is already imported) — but
+# jax.config.update('jax_platforms', 'cpu') still works as long as no
+# backend has been initialized, which is always the case at conftest time.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
