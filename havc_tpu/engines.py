@@ -76,13 +76,27 @@ class EngineRegistry:
     # -- DDColor ------------------------------------------------------------
     def ddcolor(self, name: str):
         from .models import ddcolor as dd
+        from .models.convert import npz_config
 
         key = ("ddcolor", name)
         if key not in self._cache:
-            model = dd.DDColor.from_config(name)
-            params = self._load_or_init(
-                key, lambda: dd.init_params(model, input_size=64)
-            )
+            # converted checkpoints carry their exact geometry (the
+            # released variants differ in extra_bn / channels) — rebuild
+            # the module from the stored __config__ when present
+            tree = None
+            if self.weights_dir is not None:
+                path = os.path.join(self.weights_dir, f"ddcolor_{name}.npz")
+                if os.path.exists(path):
+                    tree = _load_npz_params(path)
+            if tree is not None:
+                cfg = npz_config(tree)
+                model = dd.DDColor(**cfg) if cfg else dd.DDColor.from_config(name)
+                params = {"params": tree["params"]}
+            else:
+                model = dd.DDColor.from_config(name)
+                params = self._load_or_init(
+                    key, lambda: dd.init_params(model, input_size=64)
+                )
             self._cache[key] = (model, params)
         return self._cache[key]
 
@@ -97,6 +111,24 @@ class EngineRegistry:
                 key, lambda: zh.init_params(model, input_size=64)
             )
             self._cache[key] = (model, params)
+        return self._cache[key]
+
+    def exemplar_tree(self, name: str):
+        """Converted-checkpoint tree for an exemplar engine (or None).
+
+        Layout: ``<weights_dir>/<name>.npz`` flat ``params/<group>/...``
+        keys as written by convert.save_params_npz — groups are the
+        network.py attribute roots (key_encoder, key_proj, value_encoder,
+        decoder, short_term_attn for ColorMNet; vgg/warpnet/colorvid for
+        Deep-Exemplar; a single tree for DeepRemaster)."""
+        if self.weights_dir is None:
+            return None
+        path = os.path.join(self.weights_dir, f"{name}.npz")
+        if not os.path.exists(path):
+            return None
+        key = ("exemplar", name)
+        if key not in self._cache:
+            self._cache[key] = _load_npz_params(path)
         return self._cache[key]
 
     def _load_or_init(self, key, init_fn):
@@ -138,6 +170,13 @@ def set_weights_dir(path: Optional[str]):
     """Point the registry at converted checkpoints (``family_name.npz``)."""
     registry.weights_dir = path
     registry.clear()
+    # exemplar engines cache (model, params) pairs of their own
+    try:
+        from . import exemplar
+
+        exemplar._ENGINE_CACHE.clear()
+    except ImportError:  # pragma: no cover
+        pass
 
 
 # --- frame-batch colorizers --------------------------------------------------

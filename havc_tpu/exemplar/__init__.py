@@ -119,8 +119,10 @@ class ColorMNetEngine:
         self.decoder = cm.Decoder(
             value_dim=self.value_dim, hidden_dim=self.hidden_dim
         )
+        # short_term_attn geometry (network.py:37-45): d_vu = O * Cv — both
+        # chroma objects' values attended jointly
         self.local_attn = cm.LocalAttention(
-            d_qk=self.key_dim, d_vu=self.value_dim
+            d_qk=self.key_dim, d_vu=2 * self.value_dim
         )
         self._init_params(seed)
 
@@ -133,6 +135,22 @@ class ColorMNetEngine:
         )
 
     def _init_params(self, seed):
+        # converted checkpoint takes precedence (set_weights_dir ->
+        # <dir>/colormnet.npz, convert.colormnet_key_map layout)
+        from ..engines import registry
+
+        tree = registry.exemplar_tree("colormnet") if self.cfg_name == "full" else None
+        if tree is not None:
+            p = tree["params"]
+            self.p_key = self._cast({"params": p["key_encoder"]})
+            self.p_proj = self._cast({"params": p["key_proj"]})
+            self.p_value = self._cast({"params": p["value_encoder"]})
+            self.p_dec = self._cast({"params": p["decoder"]})
+            self.p_attn = self._cast({"params": p["short_term_attn"]})
+            self.f16_dim = 1024
+            self.g16_hw = (self.h // 16, self.w // 16)
+            return
+        registry.random_init_used = True
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, self.h, self.w, 3), jnp.float32)
         self.p_key = self.key_encoder.init(rng, dummy)
@@ -144,8 +162,8 @@ class ColorMNetEngine:
         self.p_value = self.value_encoder.init(rng, dummy, g16, hidden, chroma)
         mem_read = jnp.zeros((2, g16.shape[1], g16.shape[2], self.value_dim))
         self.p_dec = self.decoder.init(rng, g16, g8, g4, hidden, mem_read)
-        k = jnp.zeros((2, g16.shape[1], g16.shape[2], self.key_dim))
-        v = jnp.zeros((2, g16.shape[1], g16.shape[2], self.value_dim))
+        k = jnp.zeros((1, g16.shape[1], g16.shape[2], self.key_dim))
+        v = jnp.zeros((1, g16.shape[1], g16.shape[2], 2 * self.value_dim))
         self.p_attn = self.local_attn.init(rng, k, k, v)
         self.g16_hw = (g16.shape[1], g16.shape[2])
         if self.dtype != jnp.float32:
@@ -156,86 +174,151 @@ class ColorMNetEngine:
             self.p_attn = self._cast(self.p_attn)
 
 
+def _lab_l3(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB [0,1] -> normalized L replicated to 3 channels — the network's
+    input convention (colormnet_render.get_image: img_l.repeat(3),
+    range_transform im_rgb2lab_normalization: (L-50)/50)."""
+    l = rgb_to_lab(rgb)[..., 0:1]
+    return jnp.repeat((l - 50.0) / 50.0, 3, axis=-1)
+
+
 def colormnet_propagate(
     engine: ColorMNetEngine,
     frames: np.ndarray,  # (T, H, W, 3) RGB [0,1] at working size
     ref_ab: np.ndarray,  # (T, H, W, 2) normalized ab in [-1,1] (refs only)
     is_ref: np.ndarray,  # (T,) bool: reference (scene-change) frames
-    vivid: bool = False,  # reset frame memory at every reference update
+    ref_frames: Optional[np.ndarray] = None,  # (T, H, W, 3) reference RGB
+    frame_propagate: bool = True,  # refs ARE video frames (method "same as video")
+    vivid: bool = False,  # reset the whole memory at every reference update
     resume_state=None,  # carry from a previous chunk (chunked/streaming)
     return_state: bool = False,
 ):
     """Scan the clip through the memory network; returns (T, H, W, 2)
     normalized ab predictions.
 
-    Per step (InferenceCore.step/step_AnyExemplar, inference_core.py:9-231):
-    encode key; read memory (top-k) + short-term local attention vs the
-    previous frame; decode ab; encode value from the *used* ab (reference
-    ab on ref frames, prediction otherwise); insert into permanent/working
-    memory.
+    Faithful re-expression of InferenceCore (inference_core.py:9-231) as a
+    fixed-shape ``lax.scan``:
+
+    * ``frame_propagate=True`` == ``processor.step`` (reference frames are
+      colorized versions of the video frames themselves): on ref frames the
+      output IS the reference ab, the current frame's key/value (with ref
+      ab) is inserted, and the hidden state is re-created.
+    * ``frame_propagate=False`` == ``step_AnyExemplar`` (exemplar image !=
+      current frame): the exemplar image's OWN key/value is encoded and
+      inserted first (inference_core.py:155-185), then the current frame is
+      segmented against it — the output on ref frames is the *prediction*.
+    * short-term local attention reads the last MEMORY frame's key/value
+      (last_ti_key/value, updated only on memory frames), skipped on
+      exemplar-insert steps (inference_core.py:196-203).
+    * memory cadence: ``is_mem = ref or (t - last_mem_t >= mem_every)``;
+      deep (value-encoder GRU) hidden updates happen on non-ref memory
+      frames, decoder GRU updates otherwise (deep_update_sync semantics).
+    * ``vivid`` resets the entire memory + hidden at each new reference
+      (colormnet_render.py:204-221 reset_on_ref_update) and uses the
+      exemplar-insert branch for ref frames.
     """
     from ..models import memory as mem
 
     cfg = engine.mem_cfg
-    T = frames.shape[0]
     h16, w16 = engine.g16_hw
     P = h16 * w16
+    exemplar_insert = (not frame_propagate) or vivid
+    if ref_frames is None:
+        ref_frames = frames
 
     def step(params, carry, inputs):
         p_key, p_proj, p_value, p_dec, p_attn = params
-        state, hidden, last_key, last_value, frame_idx = carry
-        frame, rab, ref_flag = inputs
-        frame_b = frame[None]
+        state, hidden, last_key, last_value, frame_idx, last_mem_t = carry
+        frame_l3, ref_l3, rab, ref_flag = inputs
+        frame_b = frame_l3[None]
+        rab_oihw = rab.transpose(2, 0, 1)  # (O=2, H, W)
 
         if vivid:
-            # render_vivid for ColorMNet: reset the frame memory at every
-            # reference update (colormnet_render.py watchdog "vivid && new
-            # ref" reset path) — clear validity masks, keep buffers
+            # full reset at each new reference: the reference deletes the
+            # whole InferenceCore (colormnet_render.py:204-221)
             def clear(s):
-                return s._replace(
-                    work_valid=jnp.zeros_like(s.work_valid),
-                    lt_valid=jnp.zeros_like(s.lt_valid),
-                    work_usage=jnp.zeros_like(s.work_usage),
-                )
+                z = mem.init_memory(cfg, dtype=s.perm_keys.dtype)
+                return z
 
             state = jax.lax.cond(ref_flag, clear, lambda s: s, state)
+            hidden = jnp.where(ref_flag, jnp.zeros_like(hidden), hidden)
 
         g16, g8, g4 = engine.key_encoder.apply(p_key, frame_b)
         key, shrink, sel = engine.key_proj.apply(p_proj, g16)
         qk = key[0].reshape(P, -1)
         qe = sel[0].reshape(P, -1)
 
+        if exemplar_insert:
+            # step_AnyExemplar: encode the exemplar image's OWN key/value
+            # and insert it (hidden freshly created = zeros for its encode)
+            ref_b = ref_l3[None]
+            rg16, _, _ = engine.key_encoder.apply(p_key, ref_b)
+            rkey, rshrink, _ = engine.key_proj.apply(p_proj, rg16)
+            rvalue, _ = engine.value_encoder.apply(
+                p_value, ref_b, rg16, jnp.zeros_like(hidden), rab_oihw[None],
+                deep_update=False,
+            )
+            state = mem.insert_reference(
+                state, cfg, rkey[0].reshape(P, -1), rshrink[0].reshape(P),
+                rvalue.reshape(2, P, engine.value_dim), ref_flag,
+            )
+            last_key = jnp.where(ref_flag, rkey, last_key)
+            last_value = jnp.where(ref_flag, rvalue, last_value)
+        # hidden is re-created (zeroed) whenever a reference arrives
+        # (memory.create_hidden_state, inference_core.py:103/168)
+        hidden = jnp.where(ref_flag, jnp.zeros_like(hidden), hidden)
+
         mem_read, state = mem.read_memory(state, cfg, qk, qe)  # (O,P,Cv)
         mem_read = mem_read.reshape(2, h16, w16, engine.value_dim)
 
-        # short-term: local window attention current-key -> last frame
-        key_o = jnp.repeat(key, 2, axis=0)  # (2,h,w,Ck)
-        last_key_o = jnp.repeat(last_key, 2, axis=0)
-        short = engine.local_attn.apply(p_attn, key_o, last_key_o, last_value)
+        # short-term: window attention current-key -> last MEMORY frame,
+        # both objects' values jointly (network.read_memory_short)
+        last_value_joint = last_value.transpose(1, 2, 0, 3).reshape(
+            1, h16, w16, 2 * engine.value_dim
+        )
+        short = engine.local_attn.apply(p_attn, key, last_key, last_value_joint)
+        short = short.reshape(h16, w16, 2, engine.value_dim).transpose(2, 0, 1, 3)
+        if exemplar_insert:
+            # skipped on exemplar-insert steps (inference_core.py:196-199)
+            short = jnp.where(ref_flag, jnp.zeros_like(short), short)
         readout_total = mem_read + short
 
-        hidden, logits = engine.decoder.apply(
+        hidden_dec, logits = engine.decoder.apply(
             p_dec, g16, g8, g4, hidden, readout_total
         )
         ab_pred = jnp.tanh(logits)[..., 0]  # (2, H, W)
-        ab_used = jnp.where(ref_flag, rab.transpose(2, 0, 1), ab_pred)
+        if exemplar_insert:
+            ab_out = ab_pred  # prediction even on ref frames
+            ab_used = ab_pred
+        else:
+            ab_out = jnp.where(ref_flag, rab_oihw, ab_pred)
+            ab_used = ab_out
 
-        value16, hidden = engine.value_encoder.apply(
-            p_value, frame_b, g16, hidden, ab_used[None]
+        is_mem = jnp.logical_or(
+            ref_flag, frame_idx - last_mem_t >= cfg.mem_every
+        )
+        # deep update (value-encoder GRU) on non-ref memory frames; the
+        # decoder GRU output is kept otherwise.  On deep-update frames the
+        # decoder runs with h_out=False in the reference — its hidden is
+        # discarded, the value encoder reinforces the PREVIOUS hidden.
+        deep = jnp.logical_and(is_mem, jnp.logical_not(ref_flag))
+        hidden_for_value = jnp.where(deep, hidden, hidden_dec)
+        value16, hidden_reinf = engine.value_encoder.apply(
+            p_value, frame_b, g16, hidden_for_value, ab_used[None]
         )  # value16: (2, h16, w16, Cv)
+        hidden_out = jnp.where(deep, hidden_reinf, hidden_dec)
 
         tokens_v = value16.reshape(2, P, engine.value_dim)
-        state = mem.insert_reference(
-            state, cfg, qk, shrink[0].reshape(P), tokens_v, ref_flag
-        )
         state = mem.insert_working(
-            state, cfg, qk, shrink[0].reshape(P), tokens_v,
-            jnp.logical_and(
-                jnp.logical_not(ref_flag), frame_idx % cfg.mem_every == 0
-            ),
+            state, cfg, qk, shrink[0].reshape(P), tokens_v, is_mem
         )
-        new_carry = (state, hidden, key, value16, frame_idx + 1)
-        return new_carry, ab_used.transpose(1, 2, 0)
+        last_key = jnp.where(is_mem, key, last_key)
+        last_value = jnp.where(is_mem, value16, last_value)
+        last_mem_t = jnp.where(is_mem, frame_idx, last_mem_t)
+
+        new_carry = (state, hidden_out, last_key, last_value,
+                     frame_idx + 1, last_mem_t)
+        return new_carry, ab_out.transpose(1, 2, 0)
 
     dtype = getattr(engine, "dtype", jnp.asarray(frames).dtype)
     if resume_state is not None:
@@ -245,25 +328,31 @@ def colormnet_propagate(
         hidden0 = jnp.zeros((2, h16, w16, engine.hidden_dim), dtype)
         key0 = jnp.zeros((1, h16, w16, engine.key_dim), dtype)
         value0 = jnp.zeros((2, h16, w16, engine.value_dim), dtype)
-        carry0 = (state0, hidden0, key0, value0, jnp.zeros((), jnp.int32))
+        carry0 = (state0, hidden0, key0, value0, jnp.zeros((), jnp.int32),
+                  jnp.zeros((), jnp.int32))
 
     # Params travel as explicit jit ARGUMENTS: closure-captured arrays are
     # serialized into the program payload, which blows past the axon remote
     # compiler's HTTP body limit at full geometry (HTTP 413).
     scan_fn = cached_jit(
         ("colormnet_scan", engine.cfg_name, engine.h, engine.w, vivid,
-         str(dtype)),
+         frame_propagate, str(dtype)),
         lambda: lambda params, init, xs: jax.lax.scan(
             lambda c, x: step(params, c, x), init, xs
         ),
     )
     params = (engine.p_key, engine.p_proj, engine.p_value, engine.p_dec,
               engine.p_attn)
+    prep = cached_jit(
+        ("colormnet_l3", engine.h, engine.w, str(dtype)),
+        lambda: lambda x: _lab_l3(x).astype(dtype),
+    )
     final_carry, ab_seq = scan_fn(
         params,
         carry0,
         (
-            jnp.asarray(frames, dtype),
+            prep(jnp.asarray(frames, jnp.float32)),
+            prep(jnp.asarray(ref_frames, jnp.float32)),
             jnp.asarray(ref_ab, dtype),
             jnp.asarray(is_ref.astype(bool)),
         ),
@@ -285,12 +374,21 @@ def colormnet_propagate(
 
 class DeepExEngine:
     def __init__(self, speed: str = "medium", seed: int = 0):
+        from ..engines import registry
         from ..models import deepex as dx
 
         self.h, self.w = smart_resize_shape(0, 0, speed)
         self.vgg = dx.VGG19Features()
         self.warp = dx.WarpNet()
         self.color = dx.ColorVidNet()
+        tree = registry.exemplar_tree("deepex")
+        if tree is not None:
+            p = tree["params"]
+            self.p_vgg = {"params": p["vgg"]}
+            self.p_warp = {"params": p["warpnet"]}
+            self.p_color = {"params": p["colorvid"]}
+            return
+        registry.random_init_used = True
         self.p_vgg, self.p_warp, self.p_color = dx.init_deepex_params(
             seed, (self.h, self.w)
         )
@@ -302,14 +400,21 @@ def deepex_propagate(
     refs: np.ndarray,  # (T, H, W, 3) reference RGB (valid on ref frames)
     is_ref: np.ndarray,  # (T,) bool
     wls_filter: bool = True,
+    frame_propagate: bool = True,
+    vivid: bool = False,
 ) -> np.ndarray:
     """Reference-conditioned propagation (deepex/__init__.py:46-263).
 
-    The reference caches the ref frame's VGG features per scene and keeps
-    ``I_last_lab_predict`` as sequential state; here both are lax.scan
-    carries.  Since XLA needs static shapes, the scene's reference features
-    are re-selected per step via jnp.where from the carried tensors
-    (refreshed whenever ``is_ref``).
+    Faithful to the reference driver:
+    * VGG features of the scene's reference are cached per scene (lax.scan
+      carry, refreshed on ``is_ref``).
+    * ``I_last_lab_predict`` is pinned per scene — the reference's per-frame
+      recurrence update is commented out (deepex/__init__.py:176): it stays
+      the reference LAB (``frame_propagate``) or centered zeros.
+    * warp temperature is 1e-10 (driver call, deepex/__init__.py:172) —
+      effectively hard argmax correspondence.
+    * ``vivid`` multiplies the predicted ab by 1.25 (deepex/__init__.py:185)
+      BEFORE the WLS smoothing.
     """
     from ..models import deepex as dx
 
@@ -330,16 +435,24 @@ def deepex_propagate(
         feats_b, ref_lab = jax.lax.cond(
             ref_flag, refresh, lambda _: (feats_b, ref_lab), None
         )
-        # first frame of a scene restarts the temporal recurrence
-        last_lab = jnp.where(ref_flag, r_lab[None], last_lab)
+        if frame_propagate:
+            # last prediction <- reference frame at scene start
+            last_new = r_lab[None]
+        else:
+            # torch.zeros_like in CENTERED lab == raw LAB (50, 0, 0)
+            last_new = jnp.zeros_like(r_lab)[None].at[..., 0].set(50.0)
+        last_lab = jnp.where(ref_flag, last_new, last_lab)
 
         ab, warped, _ = dx.frame_colorization(
             p_vgg, p_warp, p_color,
             a_lab[None], ref_lab, last_lab, feats_b,
             engine.vgg, engine.warp, engine.color,
+            temperature=1e-10,
         )
         pred_lab = jnp.concatenate([a_lab[None][..., 0:1], ab], axis=-1)
-        return (feats_b, ref_lab, pred_lab), pred_lab[0]
+        # reference keeps I_last_lab_predict fixed per scene — carry
+        # last_lab unchanged
+        return (feats_b, ref_lab, last_lab), pred_lab[0]
 
     zeros_lab = jnp.zeros((1,) + lab_frames.shape[1:], jnp.float32)
     feats0 = engine.vgg.apply(
@@ -348,7 +461,7 @@ def deepex_propagate(
     init = (feats0, jnp.asarray(lab_refs[0:1]), zeros_lab)
 
     scan_fn = cached_jit(
-        ("deepex_scan", engine.h, engine.w),
+        ("deepex_scan", engine.h, engine.w, frame_propagate),
         lambda: lambda params, init, xs: jax.lax.scan(
             lambda c, x: step(params, c, x), init, xs
         ),
@@ -362,6 +475,11 @@ def deepex_propagate(
             jnp.asarray(is_ref.astype(bool)),
         ),
     )
+    if vivid:
+        # +25% saturation = ab * 1.25 (deepex/__init__.py:185)
+        lab_seq = jnp.concatenate(
+            [lab_seq[..., 0:1], lab_seq[..., 1:3] * 1.25], axis=-1
+        )
     if wls_filter:
         smooth = cached_jit(
             ("deepex_wls",),
@@ -382,12 +500,18 @@ def deepex_propagate(
 
 class RemasterEngine:
     def __init__(self, seed: int = 0, frame_size: int = 320):
+        from ..engines import registry
         from ..models import remaster as rm
 
         # DeepRemaster works at a small fixed size (reference processes
         # mindim-320 frames, remaster_render)
         self.size = frame_size
         self.model = rm.NetworkC()
+        tree = registry.exemplar_tree("remaster")
+        if tree is not None:
+            self.params = tree
+            return
+        registry.random_init_used = True
         self.params = rm.init_params(seed, size=64, t=2, n_refs=2)
 
 
@@ -600,11 +724,20 @@ def HAVC_deepex(
         )(jnp.asarray(ref_frames))
     )
 
+    # "same as video" methods propagate the video's own (colorized) frames;
+    # "different" methods insert the exemplar image's own key/value
+    # (reference method table, __init__.py:1431-1438 + step vs
+    # step_AnyExemplar dispatch)
+    frame_propagate = method in (0, 1, 3, 5)
+
     def _run_colormnet():
         engine = _get_engine("colormnet", config=engine_config, work_size=(wh, ww))
         ref_lab = np.asarray(rgb_to_lab(jnp.asarray(work_refs)))
         ref_ab = np.clip(ref_lab[..., 1:3] / 110.0, -1.0, 1.0)
-        ab = colormnet_propagate(engine, work_frames, ref_ab, is_ref, vivid=vivid)
+        ab = colormnet_propagate(
+            engine, work_frames, ref_ab, is_ref, ref_frames=work_refs,
+            frame_propagate=frame_propagate, vivid=vivid,
+        )
         lab_l = np.asarray(rgb_to_lab(jnp.asarray(work_frames)))[..., 0:1]
         lab_out = np.concatenate([lab_l, ab * 110.0], axis=-1)
         return np.asarray(jnp.clip(lab_to_rgb(jnp.asarray(lab_out)), 0.0, 1.0))
@@ -617,15 +750,11 @@ def HAVC_deepex(
         dx_refs = np.asarray(
             resize(jnp.asarray(work_refs), engine.h, engine.w, "spline64")
         )
-        out = deepex_propagate(engine, dx_frames, dx_refs, is_ref)
+        out = deepex_propagate(
+            engine, dx_frames, dx_refs, is_ref,
+            frame_propagate=frame_propagate, vivid=vivid,
+        )
         out = np.asarray(resize(jnp.asarray(out), wh, ww, "spline64"))
-        if vivid:
-            # DeepEx vivid: ab x 1.25 (deepex/__init__.py vivid flag)
-            fn = cached_jit(
-                ("deepex_vivid",),
-                lambda: lambda x: chroma_tweak(x, sat=1.25),
-            )
-            out = np.asarray(fn(jnp.asarray(out)))
         return out
 
     if ex_model == 0:

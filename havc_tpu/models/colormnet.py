@@ -131,8 +131,8 @@ class KeyEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, rgb):
-        feats = ResNetBody.from_config(self.resnet)(rgb)
-        _, f4, f8, f16, _ = feats  # layer1 (1/4), layer2 (1/8), layer3 (1/16)
+        feats = ResNetBody.from_config(self.resnet, num_stages=3)(rgb)
+        _, f4, f8, f16 = feats  # layer1 (1/4), layer2 (1/8), layer3 (1/16)
         dims = (f16.shape[-1], f8.shape[-1], f4.shape[-1])
         dino = DinoSegmentor(vit_config=self.vit, name="network2")(rgb)
 
@@ -187,8 +187,11 @@ class CBAM(nn.Module):
         mx = mlp2(nn.relu(mlp1(x.max(axis=(1, 2)))))
         ca = nn.sigmoid(avg + mx)[:, None, None, :]
         x = x * ca
+        # channel-pool order is (max, mean) — matches the reference CBAM's
+        # ChannelPool (cbam.py:52-54) so converted spatial-conv weights see
+        # their original input channel order
         sp = jnp.concatenate(
-            [x.mean(axis=-1, keepdims=True), x.max(axis=-1, keepdims=True)],
+            [x.max(axis=-1, keepdims=True), x.mean(axis=-1, keepdims=True)],
             axis=-1,
         )
         sa = nn.sigmoid(
@@ -266,7 +269,7 @@ class ValueEncoder(nn.Module):
         img_rep = jnp.repeat(image[:, None], o, axis=1)
         g = jnp.concatenate([img_rep, g], axis=-1)  # (B, O, H, W, 5)
         g = g.reshape((b * o,) + g.shape[2:])
-        feats = ResNetBody.from_config(self.resnet)(g)
+        feats = ResNetBody.from_config(self.resnet, num_stages=3)(g)
         g16 = feats[3]  # layer3, 1/16
         if g16.shape[1:3] != f16_key.shape[1:3]:
             g16 = jax.image.resize(
@@ -313,15 +316,17 @@ class Decoder(nn.Module):
         g4 = UpsampleBlock(256, name="up_8_4")(f4, g8, o)
         logits = PtConv(1, 3, 1, 1, name="pred")(nn.relu(g4))
 
-        # hidden update from multi-scale g
+        # hidden update from multi-scale g; downsampling is area-mode
+        # (HiddenUpdater, modules.py:59-61 downsample_groups mode='area'
+        # ratios 1/2 and 1/4 == average pooling)
         g4h = jnp.concatenate([g4, logits], axis=-1)
+
+        def area_down(x, r):
+            return nn.avg_pool(x, (r, r), strides=(r, r))
+
         mid = PtConv(256, 1, 1, 0, name="hu_g16")(g16)
-        mid = mid + PtConv(256, 1, 1, 0, name="hu_g8")(
-            jax.image.resize(g8, g16.shape[:1] + g16.shape[1:3] + (g8.shape[-1],), "bilinear")
-        )
-        mid = mid + PtConv(256, 1, 1, 0, name="hu_g4")(
-            jax.image.resize(g4h, g16.shape[:1] + g16.shape[1:3] + (g4h.shape[-1],), "bilinear")
-        )
+        mid = mid + PtConv(256, 1, 1, 0, name="hu_g8")(area_down(g8, 2))
+        mid = mid + PtConv(256, 1, 1, 0, name="hu_g4")(area_down(g4h, 4))
         hidden = GRUUpdate(self.hidden_dim, name="hidden_update")(mid, hidden)
 
         b_o = logits.shape[0]
@@ -336,37 +341,33 @@ class LocalAttention(nn.Module):
     """Window-15 local gated propagation (attention.py:714-915) as
     unfold-einsum; aggregation stays local (no HW x HW matrix).
 
-    q, k: (B*O or B, H, W, Cqk) key features; v: (B*O, H, W, Cv) values.
+    Geometry matches the reference ``short_term_attn`` instantiation
+    exactly (network.py:37-45): ``use_linear=False`` (no QK/V projections),
+    ``num_head=1``, ``expand_ratio=1`` and ``d_vu = num_objects * Cv`` —
+    the two chroma objects' values are attended JOINTLY as one 2*Cv-channel
+    map, mixed by the depthwise conv + output projection.
+
+    q, k: (B, H, W, d_qk) raw projected keys; v: (B, H, W, d_vu = O*Cv).
+    Learned tensors (checkpoint keys under ``short_term_attn.``):
+    relative_emb_k (1x1 conv), dw_conv.conv (5x5 depthwise, no bias),
+    projection (linear).  ``linear_U`` exists in checkpoints but is unused
+    by the reference forward (attention.py:790, 855) — excluded.
     """
 
     d_qk: int
     d_vu: int
-    num_head: int = 1
     max_dis: int = 7
-    expand_ratio: float = 2.0
 
     @nn.compact
     def __call__(self, q, k, v):
         win = 2 * self.max_dis + 1
-        d_att = self.d_qk // self.num_head
-        d_mid = d_att * self.num_head
-        exp_vu = int(self.d_vu * self.expand_ratio)
+        b, h, w, _ = q.shape
 
-        qk_proj = nn.Conv(d_mid, (1, 1), name="linear_QK", dtype=q.dtype)
-        q_p = qk_proj(q)
-        k_p = qk_proj(k)
-        v_p = nn.silu(
-            nn.Conv(exp_vu, (1, 1), feature_group_count=2, name="linear_V",
-                    dtype=v.dtype)(v)
-        )
-        rel_emb = nn.Conv(
-            self.num_head * win * win, (1, 1),
-            feature_group_count=self.num_head, name="relative_emb_k",
-            dtype=q.dtype,
-        )(q_p)
-
-        b, h, w, _ = q_p.shape
-        scale = jnp.sqrt(jnp.float32(d_att)).astype(q.dtype)
+        # relative position embedding from the *unscaled* query
+        # (attention.py:812 relative_emb_k(q) before q /= T)
+        rel = nn.Conv(win * win, (1, 1), name="relative_emb_k",
+                      dtype=q.dtype)(q)
+        scale = jnp.sqrt(jnp.float32(self.d_qk)).astype(q.dtype)
 
         def unfold(x):
             # (N, H, W, C) -> (N, H, W, win*win, C) zero-padded windows
@@ -380,29 +381,28 @@ class LocalAttention(nn.Module):
             patches = patches.reshape(n, c, win * win, h, w)
             return patches.transpose(0, 3, 4, 2, 1)
 
-        k_unf = unfold(k_p)  # (B,H,W,W2,C)
+        k_unf = unfold(k)  # (B,H,W,W2,C)
         qk = jnp.einsum(
-            "bhwc,bhwnc->bhwn", q_p / scale, k_unf,
+            "bhwc,bhwnc->bhwn", q / scale, k_unf,
             preferred_element_type=jnp.float32,
         )
-        # mask out-of-bounds window positions (zero-padded -> detect via
-        # unfolded ones mask)
-        ones = jnp.ones((1, h, w, 1), q_p.dtype)
+        # mask out-of-bounds window positions (the reference's qk_mask,
+        # attention.py:800-808) — detect via an unfolded ones mask
+        ones = jnp.ones((1, h, w, 1), q.dtype)
         mask = unfold(ones)[..., 0]  # (1,H,W,W2)
-        rel = rel_emb.reshape(b, h, w, win * win)
         qk = qk + rel.astype(jnp.float32)
         qk = jnp.where(mask > 0.5, qk, -1e8)
         attn = jax.nn.softmax(qk, axis=-1).astype(v.dtype)
 
-        v_unf = unfold(v_p)  # (B,H,W,W2,Cv)
+        v_unf = unfold(v)  # (B,H,W,W2,Cv)
         out = jnp.einsum(
             "bhwn,bhwnc->bhwc", attn, v_unf,
             preferred_element_type=jnp.float32,
         ).astype(v.dtype)
-        # depthwise conv + projection (dw_conv + projection in the reference)
+        # DWConv2d: 5x5 depthwise, NO bias (basic.py:75-84) + Linear
         out = nn.Conv(
-            exp_vu, (5, 5), padding="SAME", feature_group_count=exp_vu,
-            name="dw_conv", dtype=out.dtype,
+            self.d_vu, (5, 5), padding="SAME", feature_group_count=self.d_vu,
+            use_bias=False, name="dw_conv", dtype=out.dtype,
         )(out)
         return nn.Dense(self.d_vu, name="projection", dtype=out.dtype)(out)
 

@@ -45,7 +45,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         x = nn.Dense(4 * self.dim, name="pwconv1", dtype=x.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default is erf
         x = nn.Dense(self.dim, name="pwconv2", dtype=x.dtype)(x)
         gamma = self.param(
             "gamma",
@@ -56,10 +56,16 @@ class ConvNeXtBlock(nn.Module):
 
 
 class ConvNeXt(nn.Module):
-    """Returns the four stage features (1/4, 1/8, 1/16, 1/32), NHWC."""
+    """Returns the four stage features (1/4, 1/8, 1/16, 1/32), NHWC.
+
+    ``out_norms=True`` applies the per-stage output LayerNorms (norm0..3)
+    that DDColor's Encoder hooks (upstream convnext.py out_indices) — the
+    decoder consumes NORMED stage features.
+    """
 
     depths: Sequence[int] = (3, 3, 9, 3)
     dims: Sequence[int] = (96, 192, 384, 768)
+    out_norms: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -79,5 +85,10 @@ class ConvNeXt(nn.Module):
                 x = ConvNeXtBlock(
                     self.dims[stage], name=f"stage{stage}_block{blk}"
                 )(x)
-            feats.append(x)
+            if self.out_norms:
+                feats.append(
+                    nn.LayerNorm(epsilon=1e-6, name=f"out_norm{stage}")(x)
+                )
+            else:
+                feats.append(x)
         return tuple(feats)

@@ -1,34 +1,44 @@
-"""DDColor: ConvNeXt encoder + pixel decoder + color-query transformer.
+"""DDColor: ConvNeXt encoder + fastai-style pixel decoder + Mask2Former
+color-query decoder (upstream piddnad/DDColor architecture, NHWC Flax).
 
-The reference calls DDColor via the external ``vsddcolor`` package
+The reference consumes DDColor through the external ``vsddcolor`` wheel
 (reference: vsdeoldify/vsslib/vsmodels.py:290-374 — fp16 input, scenechange
 gating, ``input_size = trunc(render_factor/2) * 32``; model variants
-"modelscope" and "artistic", README.md:117-123).  This is a from-scratch
-NHWC implementation of the upstream DDColor architecture:
+"modelscope" and "artistic", README.md:117-123).  The wheel wraps upstream
+DDColor (``basicsr/archs/ddcolor_arch.py``), re-expressed here:
 
-* **Encoder**: ConvNeXt (large for the published artistic/modelscope
-  checkpoints; tiny/small configs available for fast runs).
-* **Pixel decoder**: top-down path from 1/32 with PixelShuffle upsampling
-  and encoder-skip concatenation, emitting multi-scale features at
-  1/16, 1/8, 1/4 and a full-resolution per-pixel embedding.
-* **Color decoder**: 100 learnable color queries refined by 9 transformer
-  blocks cycling over the three coarse scales (cross-attn -> self-attn ->
-  FFN, Mask2Former-style post-norm).
-* **Fusion**: ab = 1x1 conv over ``einsum(pixel_embedding, color_queries)``.
+* **Encoder**: ConvNeXt with per-stage output LayerNorms (norm0..norm3) —
+  the decoder consumes NORMED stage features (models/convnext.py
+  ``out_norms=True``).
+* **Pixel decoder**: three fastai UnetBlockWide blocks (shared with
+  DeOldify — upstream DDColor vendors the same fastai-derived unet utils)
+  from 1/32 up to 1/4 (outputs 512, 512, 256 for the published geometry),
+  then ``last_shuf`` = PixelShuffle_ICNR(scale=4) to a full-resolution
+  256-channel embedding.
+* **Color decoder** (``MultiScaleColorDecoder``, Mask2Former-style):
+  100 learned query features + query pos-embeddings, 9 post-norm blocks
+  cycling cross-attn (queries <- scale tokens + sine pos + level embed),
+  self-attn, FFN over the scales 1/16 -> 1/8 -> 1/4; final LayerNorm and a
+  3-layer MLP ``color_embed``.
+* **Fusion**: ``einsum(color_embed, pixel_embedding)`` -> (B,H,W,Q) score
+  map, concatenated with the input image, 1x1 spectral conv -> 2 ab
+  channels (``refine_net``).
 
-Driver semantics (``colorize``): model consumes the gray RGB (L replicated)
-resized to ``input_size`` squared, predicts ab at full model resolution;
-the ab map is resized back to the original frame and joined with the
-original luma in LAB — matching how vsddcolor re-marries chroma.
+I/O convention (upstream inference pipeline): input is the GRAY RGB
+rendering of LAB (L, 0, 0) — i.e. ``lab_to_rgb`` of the luma, NOT L/100
+replicated — in [0,1]; output is raw LAB ab.
 
-TPU notes: everything is matmul-shaped (MXU); attention uses plain
-``jnp.einsum`` with f32 accumulation — sequence lengths are tiny
-(100 queries x <=24^2 keys at 384 input), so flash-style tiling is
-unnecessary.  bf16 weights/activations are safe; set
-``jax.default_matmul_precision('highest')`` only for parity tests.
+Spectral/weight norms are folded at conversion (convert.fold_*); BatchNorms
+are inference-form.  Checkpoint layout + adaptive config detection live in
+convert.ddcolor_key_map / ddcolor_config_from_state_dict.
+
+TPU notes: everything is matmul-shaped (MXU); attention sequence lengths
+are tiny (100 queries x <=(S/4)^2 keys), so plain einsum attention with f32
+accumulation is optimal — no flash tiling needed.  bf16-safe.
 """
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import flax.linen as nn
@@ -38,56 +48,64 @@ import jax.numpy as jnp
 from ..ops.colorspace import lab_to_rgb, rgb_to_lab
 from ..ops.resize import resize
 from .convnext import CONVNEXT_CONFIGS, ConvNeXt
+from .deoldify import PixelShuffleICNR, UnetBlockWide
 
-__all__ = ["DDColor", "DDCOLOR_CONFIGS", "colorize", "init_params"]
+__all__ = ["DDColor", "DDCOLOR_CONFIGS", "colorize", "init_params",
+           "sine_position_embedding"]
 
 DDCOLOR_CONFIGS = {
-    # encoder, decoder dim, num queries, num blocks
-    "micro": dict(encoder="micro", dim=64, num_queries=16, num_blocks=3),  # test/dev
-    "tiny": dict(encoder="tiny", dim=256, num_queries=100, num_blocks=9),
-    "large": dict(encoder="large", dim=256, num_queries=100, num_blocks=9),
+    # test/dev scale (not a published geometry)
+    "micro": dict(encoder="micro", dim=64, num_queries=16, num_blocks=3,
+                  unet_out=(64, 64, 32), heads=4, ffn_dim=128),
+    "tiny": dict(encoder="tiny", dim=256, num_queries=100, num_blocks=9,
+                 unet_out=(512, 512, 256)),
+    "large": dict(encoder="large", dim=256, num_queries=100, num_blocks=9,
+                  unet_out=(512, 512, 256)),
     # the published model names map to the large encoder
-    "artistic": dict(encoder="large", dim=256, num_queries=100, num_blocks=9),
-    "modelscope": dict(encoder="large", dim=256, num_queries=100, num_blocks=9),
+    "artistic": dict(encoder="large", dim=256, num_queries=100, num_blocks=9,
+                     unet_out=(512, 512, 256)),
+    "modelscope": dict(encoder="large", dim=256, num_queries=100,
+                       num_blocks=9, unet_out=(512, 512, 256)),
 }
 
 
-def _pixel_shuffle(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
-    """Depth-to-space (torch PixelShuffle, NHWC)."""
-    b, h, w, c = x.shape
-    r = factor
-    x = x.reshape(b, h, w, r, r, c // (r * r))
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(b, h * r, w * r, c // (r * r))
-
-
-class UpBlock(nn.Module):
-    """conv 3x3 (4x channels) -> PixelShuffle 2x [-> concat skip]."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, x, skip=None):
-        x = nn.Conv(self.features * 4, (3, 3), padding="SAME", name="conv",
-                    dtype=x.dtype)(x)
-        x = _pixel_shuffle(x, 2)
-        if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
-        return x
+def sine_position_embedding(h: int, w: int, num_pos_feats: int = 128,
+                            temperature: float = 10000.0,
+                            dtype=jnp.float32) -> jnp.ndarray:
+    """DETR PositionEmbeddingSine (normalize=True): (H, W, 2*num_pos_feats)
+    with the y-embedding first, interleaved sin/cos per frequency."""
+    scale = 2.0 * math.pi
+    eps = 1e-6
+    y = jnp.arange(1, h + 1, dtype=jnp.float32)[:, None] * jnp.ones((1, w))
+    x = jnp.arange(1, w + 1, dtype=jnp.float32)[None, :] * jnp.ones((h, 1))
+    y = y / (h + eps) * scale
+    x = x / (w + eps) * scale
+    i = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2.0 * jnp.floor(i / 2.0) / num_pos_feats)
+    pos_x = x[..., None] / dim_t
+    pos_y = y[..., None] / dim_t
+    pos_x = jnp.stack(
+        [jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])], axis=-1
+    ).reshape(h, w, num_pos_feats)
+    pos_y = jnp.stack(
+        [jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])], axis=-1
+    ).reshape(h, w, num_pos_feats)
+    return jnp.concatenate([pos_y, pos_x], axis=-1).astype(dtype)
 
 
 class MHA(nn.Module):
-    """Multi-head attention with f32 accumulation on the MXU."""
+    """torch nn.MultiheadAttention equivalent (packed qkv split by the
+    converter into q/k/v Dense + out proj), f32 accumulation on the MXU."""
 
     dim: int
     heads: int = 8
 
     @nn.compact
-    def __call__(self, q_in, kv_in):
+    def __call__(self, q_in, k_in, v_in):
         d = self.dim // self.heads
         q = nn.Dense(self.dim, name="q", dtype=q_in.dtype)(q_in)
-        k = nn.Dense(self.dim, name="k", dtype=q_in.dtype)(kv_in)
-        v = nn.Dense(self.dim, name="v", dtype=q_in.dtype)(kv_in)
+        k = nn.Dense(self.dim, name="k", dtype=q_in.dtype)(k_in)
+        v = nn.Dense(self.dim, name="v", dtype=q_in.dtype)(v_in)
 
         def split(x):
             return x.reshape(x.shape[:-1] + (self.heads, d))
@@ -104,90 +122,118 @@ class MHA(nn.Module):
 
 
 class ColorDecoderBlock(nn.Module):
-    """cross-attn -> self-attn -> FFN (post-norm, Mask2Former style)."""
+    """One Mask2Former round: cross-attn -> self-attn -> FFN, all
+    post-norm (normalize_before=False) with positional embeddings added to
+    queries/keys but NOT values (transformer_*_layers forward_post)."""
 
     dim: int
     heads: int = 8
+    ffn_dim: int = 2048
 
     @nn.compact
-    def __call__(self, queries, feat_tokens):
-        x = queries + MHA(self.dim, self.heads, name="cross")(queries, feat_tokens)
-        x = nn.LayerNorm(name="norm1")(x)
-        x = x + MHA(self.dim, self.heads, name="self")(x, x)
-        x = nn.LayerNorm(name="norm2")(x)
-        y = nn.Dense(self.dim * 4, name="ffn1", dtype=x.dtype)(x)
+    def __call__(self, queries, query_pos, tokens, token_pos):
+        x = queries
+        y = MHA(self.dim, self.heads, name="cross")(
+            x + query_pos, tokens + token_pos, tokens
+        )
+        x = nn.LayerNorm(name="cross_norm")(x + y)
+        y = MHA(self.dim, self.heads, name="self")(
+            x + query_pos, x + query_pos, x
+        )
+        x = nn.LayerNorm(name="self_norm")(x + y)
+        y = nn.Dense(self.ffn_dim, name="ffn1", dtype=x.dtype)(x)
         y = nn.relu(y)
         y = nn.Dense(self.dim, name="ffn2", dtype=x.dtype)(y)
-        x = nn.LayerNorm(name="norm3")(x + y)
+        x = nn.LayerNorm(name="ffn_norm")(x + y)
         return x
 
 
 class DDColor(nn.Module):
-    """Full model: gray RGB (B,S,S,3) in [0,1] -> ab (B,S,S,2) in LAB scale."""
+    """Full model: gray RGB (B,S,S,3) in [0,1] -> raw LAB ab (B,S,S,2)."""
 
-    encoder: str = "tiny"
-    dim: int = 256
+    encoder: str = "large"
+    dim: int = 256  # color decoder hidden dim
     num_queries: int = 100
-    num_blocks: int = 9
+    num_blocks: int = 9  # dec_layers
+    unet_out: Sequence[int] = (512, 512, 256)  # pixel decoder stage outputs
+    heads: int = 8
+    ffn_dim: int = 2048
+    num_output_channels: int = 2
+    unet_extra_bn: bool = True  # custom_conv_layer extra_bn in the decoder
+    do_normalize: bool = False  # imagenet-normalize inputs (DDColor.normalize)
 
     @nn.compact
     def __call__(self, x):
+        img = x
+        if self.do_normalize:
+            mean = jnp.asarray([0.485, 0.456, 0.406], x.dtype)
+            std = jnp.asarray([0.229, 0.224, 0.225], x.dtype)
+            x = (x - mean) / std
         cfg = CONVNEXT_CONFIGS[self.encoder]
-        feats = ConvNeXt(name="convnext", **cfg)(x)
-        f4, f8, f16, f32 = feats  # 1/4 .. 1/32
+        feats = ConvNeXt(name="convnext", out_norms=True, **cfg)(x)
+        f4, f8, f16, f32 = feats  # normed stage outputs (Encoder hooks)
 
-        # pixel decoder: top-down with pixel-shuffle upsampling
-        d = self.dim
-        y = nn.Conv(d * 2, (1, 1), name="lateral32", dtype=x.dtype)(f32)
-        y = UpBlock(d * 2, name="up1")(y, nn.Conv(d, (1, 1), name="lat16",
-                                                  dtype=x.dtype)(f16))
-        feat16 = nn.Conv(d, (1, 1), name="out16", dtype=x.dtype)(y)
-        y = UpBlock(d * 2, name="up2")(y, nn.Conv(d, (1, 1), name="lat8",
-                                                  dtype=x.dtype)(f8))
-        feat8 = nn.Conv(d, (1, 1), name="out8", dtype=x.dtype)(y)
-        y = UpBlock(d, name="up3")(y, nn.Conv(d // 2, (1, 1), name="lat4",
-                                              dtype=x.dtype)(f4))
-        feat4 = nn.Conv(d, (1, 1), name="out4", dtype=x.dtype)(y)
-        # to full resolution pixel embedding
-        y = UpBlock(d // 2, name="up4")(y)
-        y = UpBlock(d // 4, name="up5")(y)
-        pixel_emb = nn.Conv(d, (1, 1), name="pixel_emb", dtype=x.dtype)(y)
+        # pixel decoder: UnetBlockWide chain from 1/32 (ddcolor_arch
+        # Decoder.make_layers; n_out semantics = 2 * output channels)
+        y = f32
+        scale_feats = []
+        for i, (skip, out_ch) in enumerate(zip((f16, f8, f4), self.unet_out)):
+            y = UnetBlockWide(
+                out_ch * 2, blur=True, self_attention=False,
+                use_bn=self.unet_extra_bn, name=f"layer{i}",
+            )(y, skip)
+            scale_feats.append(y)  # 1/16, 1/8, 1/4
+        # last_shuf: PixelShuffle_ICNR scale=4 (Spectral last_norm -> no bn)
+        emb = PixelShuffleICNR(
+            self.unet_out[-1], blur=True, use_bn=False, scale=4,
+            name="last_shuf",
+        )(y)  # (B, S, S, 256) full-res embedding
 
-        # color decoder: queries cycle over scales 1/16 -> 1/8 -> 1/4
+        # color decoder (MultiScaleColorDecoder)
         b = x.shape[0]
-        queries = self.param(
-            "color_queries",
-            nn.initializers.normal(0.02),
-            (self.num_queries, self.dim),
-        )
-        q = jnp.broadcast_to(
-            jnp.asarray(queries, x.dtype), (b,) + queries.shape
-        )
-        scales = [feat16, feat8, feat4]
-        level_embeds = [
-            self.param(f"level_embed{s}", nn.initializers.normal(0.02), (self.dim,))
-            for s in range(3)
-        ]
-        for i in range(self.num_blocks):
-            feat = scales[i % 3]
-            tokens = feat.reshape(b, -1, feat.shape[-1])
-            tokens = tokens + jnp.asarray(level_embeds[i % 3], x.dtype)
-            q = ColorDecoderBlock(self.dim, name=f"block{i}")(q, tokens)
-        q = nn.LayerNorm(name="query_norm")(q)
-        q = nn.Dense(self.dim, name="query_proj", dtype=x.dtype)(q)
+        d = self.dim
+        query_feat = self.param(
+            "query_feat", nn.initializers.normal(1.0), (self.num_queries, d))
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0), (self.num_queries, d))
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (3, d))
 
-        # fusion: per-pixel similarity to each color query -> 2ch ab.
-        # The 1/sqrt(dim) normalization keeps init-scale activations sane;
-        # for checkpoint conversion it folds into ab_out's conv weights.
-        sim = (
-            jnp.einsum(
-                "bhwc,bqc->bhwq", pixel_emb, q,
-                preferred_element_type=jnp.float32,
-            )
-            / jnp.sqrt(jnp.float32(self.dim))
+        tokens, poss = [], []
+        for s, feat in enumerate(scale_feats):
+            t = nn.Conv(d, (1, 1), name=f"input_proj{s}", dtype=x.dtype)(feat)
+            fh, fw = t.shape[1:3]
+            t = t.reshape(b, fh * fw, d) + jnp.asarray(level_embed[s], x.dtype)
+            pos = sine_position_embedding(fh, fw, d // 2, dtype=x.dtype)
+            tokens.append(t)
+            poss.append(pos.reshape(1, fh * fw, d))
+
+        q = jnp.broadcast_to(
+            jnp.asarray(query_feat, x.dtype), (b, self.num_queries, d))
+        qp = jnp.asarray(query_embed, x.dtype)[None]
+        for i in range(self.num_blocks):
+            lvl = i % 3
+            q = ColorDecoderBlock(
+                d, self.heads, self.ffn_dim, name=f"block{i}"
+            )(q, qp, tokens[lvl], poss[lvl])
+        q = nn.LayerNorm(name="decoder_norm")(q)
+        # color_embed: 3-layer MLP (hidden_dim, hidden_dim ->
+        # color_embed_dim = pixel-embedding channels) with ReLU between
+        e = q
+        dims = (d, d, self.unet_out[-1])
+        for j in range(3):
+            if j > 0:
+                e = nn.relu(e)
+            e = nn.Dense(dims[j], name=f"color_embed{j}", dtype=x.dtype)(e)
+
+        # (B,H,W,Q) per-pixel query scores, fused with the input image
+        sim = jnp.einsum(
+            "bhwc,bqc->bhwq", emb, e, preferred_element_type=jnp.float32
         ).astype(x.dtype)
-        ab = nn.Conv(2, (1, 1), name="ab_out", dtype=x.dtype)(sim)
-        return ab * 110.0  # LAB ab scale
+        fused = jnp.concatenate([sim, img], axis=-1)
+        ab = nn.Conv(self.num_output_channels, (1, 1), name="refine",
+                     dtype=x.dtype)(fused)
+        return ab
 
     @staticmethod
     def from_config(name: str) -> "DDColor":
@@ -208,15 +254,18 @@ def colorize(
 ) -> jnp.ndarray:
     """Driver: RGB (B,H,W,3) [0,1] -> colorized RGB.
 
-    Matches the vsddcolor flow: L replicated to gray RGB at ``input_size``
-    (the reference passes ``trunc(rf/2)*32``), predicted ab resized back,
-    joined with the original L in LAB.
+    Upstream pipeline semantics: the model input is the gray RGB rendering
+    of LAB (L, 0, 0) — lab_to_rgb of the luma with zero chroma (NOT L/100
+    replicated) — at ``input_size`` (the reference passes trunc(rf/2)*32);
+    predicted raw ab is resized back and joined with the original L.
     """
     h, w = rgb.shape[-3], rgb.shape[-2]
     lab = rgb_to_lab(rgb)
     l_orig = lab[..., 0:1]
-    gray = jnp.repeat(l_orig / 100.0, 3, axis=-1)
-    gray_rs = resize(gray, input_size, input_size, "bilinear")
+    gray = lab_to_rgb(
+        jnp.concatenate([l_orig, jnp.zeros_like(lab[..., 1:3])], axis=-1)
+    )
+    gray_rs = jnp.clip(resize(gray, input_size, input_size, "bilinear"), 0.0, 1.0)
     ab = model.apply(params, gray_rs)
     ab_up = resize(ab, h, w, "bilinear")
     out = lab_to_rgb(jnp.concatenate([l_orig, ab_up], axis=-1))

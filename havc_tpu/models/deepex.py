@@ -33,7 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import PtConv, PtConvTranspose
+from .layers import PtConv
 
 __all__ = [
     "VGG19Features",
@@ -112,21 +112,28 @@ class _PadConvINPReLU(nn.Module):
 
 
 class _ResidualBlock(nn.Module):
+    """NonlocalNet.py ResidualBlock: reflect-pad convs + instance norms with
+    ONE shared PReLU applied after conv1 AND after the residual add."""
+
     features: int
 
     @nn.compact
     def __call__(self, x):
+        a1 = self.param("prelu", nn.initializers.constant(0.25), (1,))
+
+        def prelu(t):
+            return jnp.where(t >= 0, t, t * jnp.asarray(a1, t.dtype))
+
         y = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
         y = PtConv(self.features, 3, 1, 0, name="conv1")(y)
         mean = y.mean(axis=(1, 2), keepdims=True)
         y = (y - mean) / jnp.sqrt(y.var(axis=(1, 2), keepdims=True) + 1e-5)
-        a1 = self.param("prelu", nn.initializers.constant(0.25), (1,))
-        y = jnp.where(y >= 0, y, y * jnp.asarray(a1, y.dtype))
+        y = prelu(y)
         y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
         y = PtConv(self.features, 3, 1, 0, name="conv2")(y)
         mean = y.mean(axis=(1, 2), keepdims=True)
         y = (y - mean) / jnp.sqrt(y.var(axis=(1, 2), keepdims=True) + 1e-5)
-        return x + y
+        return prelu(x + y)
 
 
 def _feature_normalize(x: jnp.ndarray) -> jnp.ndarray:
@@ -229,8 +236,35 @@ class WarpNet(nn.Module):
         return up(warped), up(similarity)
 
 
+def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm2d (affine=False, no running stats): normalize over H,W
+    per sample/channel.  ColorVidNet's constructor REPLACES its BatchNorms
+    with InstanceNorm2d (ColorVidNet.py:108-117) — parameter-free, so the
+    published checkpoint carries no norm tensors."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) / jnp.sqrt(var + eps)
+
+
+class _UpConv(nn.Module):
+    """Upsample(nearest, 2x) + 3x3 conv — ColorVidNet.py:104-106 replaces
+    the deconvs; checkpoint keys are ``convN_1.1.*``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        return PtConv(self.features, 3, 1, 1, name="conv")(x)
+
+
 class ColorVidNet(nn.Module):
-    """7ch input -> ab (ColorVidNet.py:6-146), tanh-bounded LAB ab."""
+    """7ch input -> ab (ColorVidNet.py:6-146), tanh-bounded LAB ab.
+
+    Input convention (FrameColor.py:64): cat(L-50, warped ab, similarity,
+    last LAB with centered L) — the L channels are CENTERED.
+    """
 
     in_channels: int = 7
 
@@ -240,53 +274,48 @@ class ColorVidNet(nn.Module):
             pad = dil
             return PtConv(f, 3, 1, pad, dilation=dil, name=n)
 
-        def norm(x):
-            # BatchNorm2d(affine=False) at inference = normalize with the
-            # stored running stats; converter maps them to these params
-            return x
-
         c11 = nn.relu(PtConv(64, 3, 1, 1, name="conv1_1b")(
             nn.relu(PtConv(32, 3, 1, 1, name="conv1_1a")(x))))
         c12 = nn.relu(conv("conv1_2", 64)(c11))
-        c12n = _BNInfNoAffine(64, name="conv1_2norm")(c12)
+        c12n = _instance_norm(c12)
         c12ss = PtConv(64, 1, 2, 0, use_bias=False, groups=64, name="conv1_2norm_ss")(c12n)
         c21 = nn.relu(conv("conv2_1", 128)(c12ss))
         c22 = nn.relu(conv("conv2_2", 128)(c21))
-        c22n = _BNInfNoAffine(128, name="conv2_2norm")(c22)
+        c22n = _instance_norm(c22)
         c22ss = PtConv(128, 1, 2, 0, use_bias=False, groups=128, name="conv2_2norm_ss")(c22n)
         c31 = nn.relu(conv("conv3_1", 256)(c22ss))
         c32 = nn.relu(conv("conv3_2", 256)(c31))
         c33 = nn.relu(conv("conv3_3", 256)(c32))
-        c33n = _BNInfNoAffine(256, name="conv3_3norm")(c33)
+        c33n = _instance_norm(c33)
         c33ss = PtConv(256, 1, 2, 0, use_bias=False, groups=256, name="conv3_3norm_ss")(c33n)
         c41 = nn.relu(conv("conv4_1", 512)(c33ss))
         c42 = nn.relu(conv("conv4_2", 512)(c41))
         c43 = nn.relu(conv("conv4_3", 512)(c42))
-        c43n = _BNInfNoAffine(512, name="conv4_3norm")(c43)
+        c43n = _instance_norm(c43)
         c51 = nn.relu(conv("conv5_1", 512, 2)(c43n))
         c52 = nn.relu(conv("conv5_2", 512, 2)(c51))
         c53 = nn.relu(conv("conv5_3", 512, 2)(c52))
-        c53n = _BNInfNoAffine(512, name="conv5_3norm")(c53)
+        c53n = _instance_norm(c53)
         c61 = nn.relu(conv("conv6_1", 512, 2)(c53n))
         c62 = nn.relu(conv("conv6_2", 512, 2)(c61))
         c63 = nn.relu(conv("conv6_3", 512, 2)(c62))
-        c63n = _BNInfNoAffine(512, name="conv6_3norm")(c63)
+        c63n = _instance_norm(c63)
         c71 = nn.relu(conv("conv7_1", 512)(c63n))
         c72 = nn.relu(conv("conv7_2", 512)(c71))
         c73 = nn.relu(conv("conv7_3", 512)(c72))
-        c73n = _BNInfNoAffine(512, name="conv7_3norm")(c73)
-        c81 = PtConvTranspose(256, 4, 2, 1, name="conv8_1")(c73n)
+        c73n = _instance_norm(c73)
+        c81 = _UpConv(256, name="conv8_1")(c73n)
         c33s = conv("conv3_3_short", 256)(c33n)
         c81c = nn.relu(c81 + c33s)
         c82 = nn.relu(conv("conv8_2", 256)(c81c))
         c83 = nn.relu(conv("conv8_3", 256)(c82))
-        c83n = _BNInfNoAffine(256, name="conv8_3norm")(c83)
-        c91 = PtConvTranspose(128, 4, 2, 1, name="conv9_1")(c83n)
+        c83n = _instance_norm(c83)
+        c91 = _UpConv(128, name="conv9_1")(c83n)
         c22s = conv("conv2_2_short", 128)(c22n)
         c91c = nn.relu(c91 + c22s)
         c92 = nn.relu(conv("conv9_2", 128)(c91c))
-        c92n = _BNInfNoAffine(128, name="conv9_2norm")(c92)
-        c101 = PtConvTranspose(128, 4, 2, 1, name="conv10_1")(c92n)
+        c92n = _instance_norm(c92)
+        c101 = _UpConv(128, name="conv10_1")(c92n)
         c12s = conv("conv1_2_short", 128)(c12n)
         c101c = nn.relu(c101 + c12s)
         c102 = jnp.where(  # leaky 0.2 per upstream conv10_2
@@ -294,21 +323,6 @@ class ColorVidNet(nn.Module):
         )
         ab = PtConv(2, 1, 1, 0, name="conv10_ab")(c102)
         return jnp.tanh(ab) * 128.0
-
-
-class _BNInfNoAffine(nn.Module):
-    """BatchNorm2d(affine=False) inference form: running stats only."""
-
-    features: int
-    eps: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x):
-        mean = self.param("mean", nn.initializers.zeros, (self.features,))
-        var = self.param("var", nn.initializers.ones, (self.features,))
-        return (x - jnp.asarray(mean, x.dtype)) / jnp.sqrt(
-            jnp.asarray(var, x.dtype) + self.eps
-        )
 
 
 def frame_colorization(
@@ -332,19 +346,24 @@ def frame_colorization(
     current-frame VGG features for caching).
     """
     ia_l = ia_lab[..., 0:1]
-    # gray -> RGB for VGG: replicate normalized L
+    # gray -> RGB for VGG: replicate normalized L (util.gray2rgb_batch:
+    # (centered_l + 50) / 100 == L/100 on raw [0,100] L)
     ia_rgb = jnp.repeat(ia_l / 100.0, 3, axis=-1)
     feats_a = vggnet.apply(vgg_params, ia_rgb)
     a_norm = tuple(_feature_normalize(f) for f in feats_a)
     b_norm = tuple(_feature_normalize(f) for f in features_b)
-    warped_lab, similarity = warpnet.apply(
-        warp_params, ib_lab, a_norm, b_norm, temperature
+    # the reference pipeline works in CENTERED lab (l - 50, util.py:63-64);
+    # warp and colorize see centered L channels
+    center = jnp.asarray([50.0, 0.0, 0.0], ia_lab.dtype)
+    warped_lab_c, similarity = warpnet.apply(
+        warp_params, ib_lab - center, a_norm, b_norm, temperature
     )
     color_input = jnp.concatenate(
-        [ia_l, warped_lab[..., 1:3], similarity, ia_last_lab], axis=-1
+        [ia_l - 50.0, warped_lab_c[..., 1:3], similarity,
+         ia_last_lab - center], axis=-1,
     )
     ab = colornet.apply(color_params, color_input)
-    return ab, warped_lab, feats_a
+    return ab, warped_lab_c + center, feats_a
 
 
 def guided_filter_ab(

@@ -120,22 +120,33 @@ class ConvBnRelu(nn.Module):
 
 
 class PixelShuffleICNR(nn.Module):
-    """1x1 conv to nf*4 -> ReLU -> PixelShuffle(2) -> pad+avgpool blur."""
+    """1x1 conv to nf*4 -> ReLU -> PixelShuffle(2) -> pad+avgpool blur.
+
+    ``use_bn=True`` matches CustomPixelShuffle_ICNR (deoldify/unet.py:24:
+    custom_conv_layer with extra_bn, spectral-normed, no bias); the FINAL
+    shuffle of the net is fastai's PixelShuffle_ICNR (layers.py:204:
+    weight-normed conv WITH bias, no BN, blur=False) -> use_bn=False.
+    """
 
     features: int
     blur: bool = True
+    use_bn: bool = True
+    scale: int = 2
 
     @nn.compact
     def __call__(self, x):
+        r = self.scale
         x = ConvBnRelu(
-            self.features * 4, kernel_size=1, use_activ=False, use_bn=True,
-            name="conv",
+            self.features * r * r, kernel_size=1, use_activ=False,
+            use_bn=self.use_bn, name="conv",
         )(x)
         x = nn.relu(x)
-        # PixelShuffle(2), NHWC
+        # PixelShuffle(r), NHWC; torch channel layout is (c_out, dy, dx)
+        # with c_out slowest — match it so converted weights line up
         b, h, w, c = x.shape
-        x = x.reshape(b, h, w, 2, 2, c // 4)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 2, w * 2, c // 4)
+        co = c // (r * r)
+        x = x.reshape(b, h, w, co, r, r)
+        x = x.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * r, w * r, co)
         if self.blur:
             # ReplicationPad2d((1,0,1,0)): pad left/top by 1
             x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)), mode="edge")
@@ -144,14 +155,20 @@ class PixelShuffleICNR(nn.Module):
 
 
 class UnetBlockWide(nn.Module):
+    """fastai/DeOldify UnetBlockWide; also the pixel-decoder block of
+    DDColor (which vendors the same fastai-derived unet utils)."""
+
     n_out: int
     blur: bool = True
     self_attention: bool = False
+    use_bn: bool = True  # extra_bn (NormType.Spectral) variant
 
     @nn.compact
     def __call__(self, up_in, skip):
         up_out = self.n_out // 2
-        x = PixelShuffleICNR(up_out, blur=self.blur, name="shuf")(up_in)
+        x = PixelShuffleICNR(
+            up_out, blur=self.blur, use_bn=self.use_bn, name="shuf"
+        )(up_in)
         if x.shape[1:3] != skip.shape[1:3]:
             x = jax.image.resize(
                 x, (x.shape[0],) + skip.shape[1:3] + (x.shape[-1],), "nearest"
@@ -159,7 +176,8 @@ class UnetBlockWide(nn.Module):
         s = BatchNormInference(skip.shape[-1], name="bn")(skip)
         cat = nn.relu(jnp.concatenate([x, s], axis=-1))
         return ConvBnRelu(
-            up_out, self_attention=self.self_attention, name="conv"
+            up_out, self_attention=self.self_attention, use_bn=self.use_bn,
+            name="conv",
         )(cat)
 
 
@@ -186,14 +204,18 @@ class UnetBlockDeep(nn.Module):
 
 
 class ResBlock(nn.Module):
-    """fastai res_block: two conv layers + residual merge."""
+    """fastai res_block (layers.py:154-161): two conv_layers + residual.
+
+    With NormType.Spectral the fastai conv_layer has NO BatchNorm and the
+    convs carry a bias (bn=False -> bias=True) — conv -> ReLU only.
+    """
 
     features: int
 
     @nn.compact
     def __call__(self, x):
-        y = ConvBnRelu(self.features, name="conv1")(x)
-        y = ConvBnRelu(self.features, name="conv2")(y)
+        y = ConvBnRelu(self.features, use_bn=False, name="conv1")(x)
+        y = ConvBnRelu(self.features, use_bn=False, name="conv2")(y)
         return x + y
 
 
@@ -211,9 +233,16 @@ class _DynamicUnetBase(nn.Module):
         return l4, [l3, l2, l1, relu_out]
 
     def _head(self, x, inp, ni):
-        # upscale to input res if the first skip was at half input res
+        # upscale to input res if the first skip was at half input res;
+        # fastai PixelShuffle_ICNR here: no BN (weight-normed conv w/ bias).
+        # NOTE blur is ALWAYS applied: fastai assigns self.blur = AvgPool2d
+        # unconditionally and `if self.blur` tests the module, not the flag
+        # (layers.py:214-220) — a shipped fastai-1.0.60 quirk the weights
+        # were trained with, reproduced faithfully.
         if x.shape[1] != inp.shape[1]:
-            x = PixelShuffleICNR(x.shape[-1], blur=self.blur, name="final_shuf")(x)
+            x = PixelShuffleICNR(
+                x.shape[-1], blur=True, use_bn=False, name="final_shuf"
+            )(x)
         # last_cross: dense merge with the network input
         x = jnp.concatenate([x, inp], axis=-1)
         x = ResBlock(x.shape[-1], name="last_cross")(x)

@@ -103,6 +103,10 @@ class ResNetBody(nn.Module):
     block: str = "bottleneck"
     layers: Sequence[int] = (3, 4, 23, 3)
     stem_features: int = 64
+    # ColorMNet's encoders keep only conv1..layer3 (modules.py:105-170) —
+    # building layer4 would both waste FLOPs and create params absent from
+    # checkpoints
+    num_stages: int = 4
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -115,7 +119,7 @@ class ResNetBody(nn.Module):
         expansion = 1 if self.block == "basic" else 4
         feats = []
         in_ch = self.stem_features
-        for stage, n_blocks in enumerate(self.layers):
+        for stage, n_blocks in enumerate(self.layers[: self.num_stages]):
             width = self.stem_features * (2**stage)
             stride = 1 if stage == 0 else 2
             out_ch = width * expansion
@@ -131,5 +135,5 @@ class ResNetBody(nn.Module):
         return (relu_out, *feats)
 
     @staticmethod
-    def from_config(name: str) -> "ResNetBody":
-        return ResNetBody(**RESNET_CONFIGS[name])
+    def from_config(name: str, num_stages: int = 4) -> "ResNetBody":
+        return ResNetBody(**RESNET_CONFIGS[name], num_stages=num_stages)

@@ -51,18 +51,25 @@ class Attention(nn.Module):
 
 
 class Block(nn.Module):
+    """DINOv2 block: pre-norm attn/MLP with LayerScale (ls1/ls2.gamma) and
+    exact (erf) GELU, matching the upstream facebookresearch/dinov2
+    vision_transformer.py checkpoint layout."""
+
     dim: int
     heads: int
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(name="norm1")(x)
-        x = x + Attention(self.dim, self.heads, name="attn")(y)
+        y = Attention(self.dim, self.heads, name="attn")(y)
+        ls1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
+        x = x + y * jnp.asarray(ls1, x.dtype)
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(self.dim * 4, name="mlp_fc1", dtype=x.dtype)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="mlp_fc2", dtype=x.dtype)(y)
-        return x + y
+        ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
+        return x + y * jnp.asarray(ls2, x.dtype)
 
 
 class ViT(nn.Module):
@@ -74,6 +81,11 @@ class ViT(nn.Module):
     depth: int = 12
     heads: int = 6
     out_layers: Sequence[int] = (8, 9, 10, 11)
+    # pos_embed is stored at the DINOv2 pretraining grid (518/14 = 37) and
+    # bicubic-interpolated to the runtime grid, like the upstream
+    # interpolate_pos_encoding — so converted checkpoints load untouched
+    # whatever the working resolution
+    pretrain_grid: int = 37
 
     @nn.compact
     def __call__(self, rgb) -> Tuple[jnp.ndarray, ...]:
@@ -93,23 +105,32 @@ class ViT(nn.Module):
         )(rgb)
         x = x.reshape(b, gh * gw, self.dim)
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+        g0 = self.pretrain_grid
         pos = self.param(
             "pos_embed", nn.initializers.normal(0.02),
-            (1, gh * gw + 1, self.dim),
+            (1, g0 * g0 + 1, self.dim),
         )
+        pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
+        if (gh, gw) != (g0, g0):
+            pos_patch = jax.image.resize(
+                pos_patch.reshape(1, g0, g0, self.dim),
+                (1, gh, gw, self.dim), "bicubic",
+            ).reshape(1, gh * gw, self.dim)
         x = jnp.concatenate(
             [jnp.broadcast_to(jnp.asarray(cls, x.dtype), (b, 1, self.dim)), x],
             axis=1,
         )
-        x = x + jnp.asarray(pos, x.dtype)
+        x = x + jnp.concatenate([pos_cls, pos_patch], axis=1).astype(x.dtype)
         outs = []
+        final_norm = nn.LayerNorm(name="norm")
         for i in range(self.depth):
             x = Block(self.dim, self.heads, name=f"block{i}")(x)
             if i in self.out_layers:
+                # get_intermediate_layers(norm=True) applies the SHARED
+                # final norm to every tapped layer (dinov2
+                # vision_transformer.py), not per-layer norms
                 outs.append(
-                    nn.LayerNorm(name=f"out_norm{i}")(x)[:, 1:].reshape(
-                        b, gh, gw, self.dim
-                    )
+                    final_norm(x)[:, 1:].reshape(b, gh, gw, self.dim)
                 )
         return tuple(outs)
 
