@@ -10,6 +10,7 @@ Public API mirrors the reference's ``HAVC_*`` surface but operates on the
 metadata) instead of VapourSynth nodes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .api import *  # noqa: F401,F403
+from .streaming import HAVC_main_streaming  # noqa: F401

@@ -135,18 +135,32 @@ def HAVC_colorizer(
             tht_white=sc_tht_white,
             tht_black=sc_tht_black,
             tht_offset=sc_tht_offset,
+            normalize=sc_normalize,
         )
         clip = clip.with_sc(flags)
 
     frame_size = min(max(dd_rf, do_rf) * 16, clip.width)
     clip_orig = clip
+
+    sc_prev = clip.sc.sc_prev if (scenechange and clip.sc is not None) else None
+
+    if sc_prev is None:
+        # FUSED device pipeline (round-2 perf fix for the round-1 "host
+        # round-trip per stage" weakness): when no scene-change gating is
+        # active every frame is colorized, so work-resize -> both engines
+        # -> combine -> per-engine tweak -> full-res chroma restore runs as
+        # ONE jitted program per batch — frames cross host<->device once.
+        return _colorize_fused(
+            clip, method, merge_weight, do_model, do_rf, do_sat, do_hue,
+            dd_model, dd_rf, dd_sat, dd_hue, ddtweak, ddtweak_p,
+            cmc_p, lmm_p, alm_p, crt_p, cmb_sw, frame_size, batch_size,
+        )
+
     work = _batched(
         clip,
         lambda x: jnp.clip(resize(x, frame_size, frame_size, "spline64"), 0.0, 1.0),
         batch_size,
     )
-
-    sc_prev = clip.sc.sc_prev if (scenechange and clip.sc is not None) else None
 
     clipa_frames = clipb_frames = None
     if method != 1:
@@ -193,6 +207,67 @@ def HAVC_colorizer(
     colored = work.with_frames(combined)
     restored = _chroma_resize_clip(clip_orig, colored, batch_size)
     return restored
+
+
+def _colorize_fused(
+    clip: Clip, method: int, merge_weight: float,
+    do_model: int, do_rf: int, do_sat: float, do_hue: float,
+    dd_model: int, dd_rf: int, dd_sat: float, dd_hue: float,
+    ddtweak, ddtweak_p, cmc_p, lmm_p, alm_p, crt_p, cmb_sw: bool,
+    frame_size: int, batch_size: int,
+) -> Clip:
+    """HAVC_colorizer body as one jitted program per batch (no per-stage
+    host materialization)."""
+    do_fn = dd_fn = None
+    do_params = dd_params = None
+    if method != 1:
+        do_fn, do_params = engines.make_deoldify_fn(do_model, do_rf)
+    if method != 0:
+        dd_fn, dd_params = engines.make_ddcolor_fn(
+            dd_model, dd_rf, tweaks_flags=tuple(ddtweak), tweaks=ddtweak_p
+        )
+
+    def stage(params, frames):
+        p_do, p_dd = params
+        work = jnp.clip(resize(frames, frame_size, frame_size, "spline64"), 0.0, 1.0)
+        if method == 0:
+            combined = do_fn(p_do, work)
+            if do_sat != 1 or do_hue != 0:
+                combined = chroma_ops.tweak(combined, hue=do_hue, sat=do_sat)
+        elif method == 1:
+            combined = dd_fn(p_dd, work)
+            if dd_sat != 1 or dd_hue != 0:
+                combined = chroma_ops.tweak(combined, hue=dd_hue, sat=dd_sat)
+        else:
+            a = do_fn(p_do, work)
+            b = dd_fn(p_dd, work)
+            combined = merge_ops.combine_models(
+                a, b, method=method, sat=(do_sat, dd_sat), hue=(do_hue, dd_hue),
+                b_weight=merge_weight, cmc_p=cmc_p, lmm_p=lmm_p, alm_p=alm_p,
+                crt_p=crt_p, invert_clips=cmb_sw,
+            )
+        return filters.chroma_resize_restore(frames, combined)
+
+    fn = cached_jit(
+        ("colorize_fused", method, merge_weight, do_model, do_rf, do_sat,
+         do_hue, dd_model, dd_rf, dd_sat, dd_hue, tuple(ddtweak),
+         str(ddtweak_p), tuple(cmc_p), tuple(lmm_p), tuple(alm_p),
+         tuple(crt_p), cmb_sw, frame_size, clip.height, clip.width,
+         batch_size),
+        lambda: stage,
+    )
+    params = (do_params, dd_params)
+    T = clip.num_frames
+    outs = []
+    for s in range(0, T, batch_size):
+        chunk = jnp.asarray(np.asarray(clip.frames[s : s + batch_size]))
+        n = chunk.shape[0]
+        if n < batch_size:
+            chunk = jnp.concatenate(
+                [chunk, jnp.repeat(chunk[-1:], batch_size - n, 0)]
+            )
+        outs.append(np.asarray(fn(params, chunk))[:n])
+    return clip.with_frames(np.concatenate(outs))
 
 
 def _chroma_resize_clip(hires: Clip, lowres: Clip, batch_size: int = 8) -> Clip:
@@ -912,20 +987,27 @@ HAVC_main_restore = HAVC_ColorAdjust
 
 def HAVC_SceneDetectEdges(
     clip: Clip,
-    sc_threshold: float = 0.5,
-    sc_min_int: int = 1,
+    sc_threshold: float = 0.07,
+    sc_frequency: int = 0,
     sc_tht_ssim: float = 0.0,
+    sc_diff_offset: int = 2,
+    sc_min_int: int = 30,
+    sc_mult_tht: int = 7,
     sc_tht_white: float = 0.70,
-    sc_tht_black: float = 0.10,
+    sc_tht_black: float = 0.12,
 ) -> Clip:
     """Edge-based scene detection (HAVC_SceneDetectEdges, __init__.py:3219;
-    vsscdetect_edge.py)."""
+    vsscdetect_edge.py:32-260 — draft retinex edge mask, offset-frame diff,
+    multi-threshold decision reasons, luma gates, SSIM confirmation)."""
     from .scene.edges import scene_detect_edges
 
     flags = scene_detect_edges(
         np.asarray(clip.frames),
         threshold=sc_threshold,
-        min_length=sc_min_int,
+        frequency=sc_frequency,
+        sc_diff_offset=sc_diff_offset,
+        sc_min_int=sc_min_int,
+        sc_mult_tht=sc_mult_tht,
         tht_white=sc_tht_white,
         tht_black=sc_tht_black,
         sc_tht_ssim=sc_tht_ssim,

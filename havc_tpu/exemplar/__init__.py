@@ -571,21 +571,34 @@ def _get_engine(kind: str, **kw):
 
 
 def _prepare_work(clip: Clip, speed: str, batch: int = 8):
+    """Aspect-preserving SmartResize: pad to the model aspect with borders
+    then spline64 to the working size (vsresize.py:294-315) — round-1
+    stretched instead, distorting the correspondence geometry the exemplar
+    models match on."""
+    from ..ops.resize import smart_resize_pad
+
     h, w = smart_resize_shape(clip.width, clip.height, speed)
     fn = cached_jit(
-        ("smart_resize", h, w),
-        lambda: lambda x: jnp.clip(resize(x, h, w, "spline64"), 0.0, 1.0),
+        ("smart_resize_pad", h, w, clip.height, clip.width),
+        lambda: lambda x: smart_resize_pad(x, h, w, "spline64")[0],
     )
-    return np.asarray(fn(jnp.asarray(np.asarray(clip.frames)))), (h, w)
+    _, meta = smart_resize_pad(
+        jnp.zeros((1, clip.height, clip.width, 3), jnp.float32), h, w
+    )
+    work = np.asarray(fn(jnp.asarray(np.asarray(clip.frames))))
+    return work, (h, w), meta
 
 
-def _restore_full(clip: Clip, colored_small: np.ndarray) -> Clip:
-    """Resize back + re-marry original luma (smc.restore_clip_size +
-    vs_recover_clip_luma, __init__.py:1727-1733)."""
+def _restore_full(clip: Clip, colored_small: np.ndarray, meta) -> Clip:
+    """Restore geometry (resize to padded size + crop borders,
+    SmartResize*.restore_clip_size) + re-marry original luma
+    (vs_recover_clip_luma, __init__.py:1727-1733)."""
+    from ..ops.resize import smart_resize_restore
+
     fn = cached_jit(
-        ("restore_full", clip.height, clip.width),
+        ("restore_full", clip.height, clip.width, tuple(meta)),
         lambda: lambda hi, lo: recover_clip_luma(
-            hi, resize(lo, clip.height, clip.width, "spline64")
+            hi, smart_resize_restore(lo, meta, "spline64")
         ),
     )
     out = np.asarray(
@@ -716,11 +729,13 @@ def HAVC_deepex(
         )
         ref_frames = np.asarray(fn(jnp.asarray(ref_frames)))
 
-    work_frames, (wh, ww) = _prepare_work(clip, render_speed)
+    work_frames, (wh, ww), pad_meta = _prepare_work(clip, render_speed)
+    from ..ops.resize import smart_resize_pad
+
     work_refs = np.asarray(
         cached_jit(
-            ("smart_resize", wh, ww),
-            lambda: lambda x: jnp.clip(resize(x, wh, ww, "spline64"), 0.0, 1.0),
+            ("smart_resize_pad", wh, ww, clip.height, clip.width),
+            lambda: lambda x: smart_resize_pad(x, wh, ww, "spline64")[0],
         )(jnp.asarray(ref_frames))
     )
 
@@ -790,7 +805,7 @@ def HAVC_deepex(
             is_ref[:, None, None, None], colored_small, blend
         )
 
-    out = _restore_full(clip, colored_small)
+    out = _restore_full(clip, colored_small, pad_meta)
     return out.with_sc(clip_ref.sc)
 
 
@@ -879,13 +894,14 @@ def HAVC_DeepRemaster(
     else:
         raise ValueError("HAVC_DeepRemaster: need ref_dir or clip_ref")
 
-    work_frames, (wh, ww) = _prepare_work(clip, render_speed)
+    work_frames, (wh, ww), pad_meta = _prepare_work(clip, render_speed)
+    from ..ops.resize import smart_resize_pad
+
+    # references were matched to the clip geometry above; run them through
+    # the same aspect-preserving working transform
     work_refs = np.asarray(
-        cached_jit(
-            ("smart_resize", wh, ww),
-            lambda: lambda x: jnp.clip(resize(x, wh, ww, "spline64"), 0.0, 1.0),
-        )(jnp.asarray(refs))
+        smart_resize_pad(jnp.asarray(refs), wh, ww, "spline64")[0]
     )
     engine = _get_engine("remaster")
     colored_small = remaster_propagate(engine, work_frames, work_refs)
-    return _restore_full(clip, colored_small)
+    return _restore_full(clip, colored_small, pad_meta)

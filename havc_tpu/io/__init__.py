@@ -4,6 +4,7 @@ from .stream import process_video, stream_batches  # noqa: F401
 from .video import (  # noqa: F401
     read_video,
     write_video,
+    write_video_y4m,
     read_image,
     write_image,
     export_reference_frames,

@@ -137,3 +137,32 @@ def read_reference_dir(ref_dir: str) -> dict:
         if num is not None:
             refs[num] = read_image(os.path.join(ref_dir, name))
     return refs
+
+
+def write_video_y4m(
+    clip: Clip,
+    path: str,
+    matrix: str = "709",
+    range_full: bool = False,
+    dither: str = "error_diffusion",
+) -> None:
+    """Write YUV4MPEG2 (4:2:0) with the full restore_format fidelity path:
+    matrix + range conversion and error-diffusion dithering
+    (havc_utils.py:167-237 equivalent; cv2's mp4 writer does its own opaque
+    conversion, this path gives bit-controlled output ffmpeg can consume
+    losslessly)."""
+    from .formats import restore_format_yuv420p8
+
+    frames = np.asarray(clip.frames)
+    y, u, v = restore_format_yuv420p8(frames, matrix, range_full, dither)
+    t, h, w = y.shape
+    num = int(round(clip.fps * 1000))
+    with open(path, "wb") as f:
+        f.write(
+            f"YUV4MPEG2 W{w} H{h} F{num}:1000 Ip A1:1 C420mpeg2\n".encode()
+        )
+        for i in range(t):
+            f.write(b"FRAME\n")
+            f.write(y[i].tobytes())
+            f.write(u[i].tobytes())
+            f.write(v[i].tobytes())

@@ -357,6 +357,10 @@ class LocalAttention(nn.Module):
     d_qk: int
     d_vu: int
     max_dis: int = 7
+    # None = auto: the Pallas VMEM-resident kernel on TPU (the unfold
+    # fallback materializes (H,W,225,Cv) patches in HBM — ~55x slower at
+    # the published geometry, ops/pallas_attn.py), unfold elsewhere
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, q, k, v):
@@ -367,6 +371,23 @@ class LocalAttention(nn.Module):
         # (attention.py:812 relative_emb_k(q) before q /= T)
         rel = nn.Conv(win * win, (1, 1), name="relative_emb_k",
                       dtype=q.dtype)(q)
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from ..ops.pallas_attn import local_window_attention
+
+            out = local_window_attention(
+                q, k, v, rel, max_dis=self.max_dis
+            ).astype(v.dtype)
+            out = nn.Conv(
+                self.d_vu, (5, 5), padding="SAME",
+                feature_group_count=self.d_vu, use_bias=False,
+                name="dw_conv", dtype=out.dtype,
+            )(out)
+            return nn.Dense(self.d_vu, name="projection", dtype=out.dtype)(out)
+
         scale = jnp.sqrt(jnp.float32(self.d_qk)).astype(q.dtype)
 
         def unfold(x):

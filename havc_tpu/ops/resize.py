@@ -157,3 +157,102 @@ def resize(
             preferred_element_type=jnp.float32, precision=prec,
         ).astype(img.dtype)
     return out
+
+
+# --- aspect-preserving pad/restore geometry ---------------------------------
+#
+# Rebuild of the reference's SmartResize / ClipPadder geometry
+# (vsslib/vsresize.py:159-411): instead of stretching a clip to the model
+# aspect, borders are added (black for SmartResize, gray-128 for ClipPadder)
+# so spatial correspondence models (ColorMNet/DeepEx exemplar matching)
+# see undistorted geometry; restore = resize to padded size + crop.
+
+from typing import NamedTuple
+
+
+class PadMeta(NamedTuple):
+    """Geometry captured by smart_resize_pad, consumed by
+    smart_resize_restore."""
+
+    orig_h: int
+    orig_w: int
+    pad_w: int  # symmetric horizontal border (pre-resize pixels)
+    pad_h: int  # symmetric vertical border
+
+
+def smart_resize_pad(
+    frames, target_h: int, target_w: int, kernel: str = "spline64",
+    border: float = 0.0, even_pad: bool = False,
+):
+    """Pad to the target aspect ratio (symmetric borders) then resize to
+    (target_h, target_w) — SmartResizeColorizer.get_resized_clip
+    (vsresize.py:294-315; SmartResizeReference rounds the pad down to a
+    multiple of 2, ``even_pad=True``).  Returns (resized, PadMeta)."""
+    import math as _math
+
+    h, w = frames.shape[-3], frames.shape[-2]
+    ratio_clip = round(w / h, 2)
+    ratio_target = round(target_w / target_h, 2)
+    pad_w = pad_h = 0
+    if ratio_clip < ratio_target:
+        new_w = round(h * ratio_target)
+        pad_w = int(round((new_w - w) / 2))
+        if even_pad:
+            pad_w = _math.trunc(pad_w / 2) * 2
+    elif ratio_clip > ratio_target:
+        new_h = round(w / ratio_target)
+        pad_h = int(round((new_h - h) / 2))
+        if even_pad:
+            pad_h = _math.trunc(pad_h / 2) * 2
+    if pad_w or pad_h:
+        pads = [(0, 0)] * (frames.ndim - 3) + [
+            (pad_h, pad_h), (pad_w, pad_w), (0, 0)]
+        frames = jnp.pad(frames, pads, constant_values=border)
+    out = jnp.clip(resize(frames, target_h, target_w, kernel), 0.0, 1.0)
+    return out, PadMeta(h, w, pad_w, pad_h)
+
+
+def smart_resize_restore(frames, meta: PadMeta, kernel: str = "spline64"):
+    """Resize back to the padded geometry and crop the borders off
+    (SmartResize*.restore_clip_size, vsresize.py:316-329)."""
+    ph, pw = meta.pad_h, meta.pad_w
+    full_h = meta.orig_h + 2 * ph
+    full_w = meta.orig_w + 2 * pw
+    out = jnp.clip(resize(frames, full_h, full_w, kernel), 0.0, 1.0)
+    if ph:
+        out = out[..., ph:-ph, :, :]
+    if pw:
+        out = out[..., pw:-pw, :]
+    return out
+
+
+def pad_to_square(frames, size: int = 512, kernel: str = "lanczos",
+                  border: float = 128.0 / 255.0):
+    """ClipPadder.pad (vsresize.py:176-217): fit into a size x size box
+    preserving aspect (lanczos), then gray-128 borders.  Returns
+    (padded, PadMeta) where PadMeta.pad_* are post-resize pixels."""
+    h, w = frames.shape[-3], frames.shape[-2]
+    scale = size / max(w, h)
+    new_w, new_h = int(w * scale), int(h * scale)
+    out = jnp.clip(resize(frames, new_h, new_w, kernel), 0.0, 1.0)
+    pad_w = size - new_w
+    pad_h = size - new_h
+    l, t = pad_w // 2, pad_h // 2
+    pads = [(0, 0)] * (frames.ndim - 3) + [
+        (t, pad_h - t), (l, pad_w - l), (0, 0)]
+    out = jnp.pad(out, pads, constant_values=border)
+    return out, PadMeta(h, w, l, t)
+
+
+def unpad_from_square(frames, meta: PadMeta, size: int = 512,
+                      kernel: str = "lanczos"):
+    """ClipPadder.unpad: crop the content box, resize to the original."""
+    scale = size / max(meta.orig_w, meta.orig_h)
+    new_w, new_h = int(meta.orig_w * scale), int(meta.orig_h * scale)
+    t, l = meta.pad_h, meta.pad_w
+    out = frames[..., t:t + new_h, l:l + new_w, :]
+    return jnp.clip(resize(out, meta.orig_h, meta.orig_w, kernel), 0.0, 1.0)
+
+
+__all__ += ["PadMeta", "smart_resize_pad", "smart_resize_restore",
+            "pad_to_square", "unpad_from_square"]

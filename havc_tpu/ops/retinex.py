@@ -69,23 +69,45 @@ def msr(
         blurred = gaussian_blur_box(intensity, s)
         acc = acc + (log_i - jnp.log(blurred + eps))
     out = acc / len(sigmas)
-    lo = jnp.percentile(out, 1.0, axis=(-2, -1), keepdims=True)
-    hi = jnp.percentile(out, 99.0, axis=(-2, -1), keepdims=True)
+    # MSRCP "simplest color balance" stretch; the reference plugin call
+    # uses lower_thr=upper_thr=0.001 (vsretinex.py:60)
+    lo = jnp.percentile(out, 0.1, axis=(-2, -1), keepdims=True)
+    hi = jnp.percentile(out, 99.9, axis=(-2, -1), keepdims=True)
     return jnp.clip((out - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
 
 
-def msr_luma(rgb: jnp.ndarray, sigmas=(25.0, 80.0, 250.0)) -> jnp.ndarray:
-    """MSR on the intensity channel with chroma-preserving rescale (MSRCP).
+def msr_luma(
+    rgb: jnp.ndarray, sigmas=(25.0, 80.0, 250.0),
+    chroma_protect: float = 1.2,
+) -> jnp.ndarray:
+    """MSR on the intensity channel with chroma-preserving rescale (MSRCP,
+    the plugin path of vsretinex.py:59-62 with chroma_protect=1.2).
 
     Each RGB pixel is scaled by ``MSR(I)/I`` so hue/saturation ratios are
-    preserved (vsretinex's MSRCP behaviour).
+    preserved; ``chroma_protect`` > 1 damps the chroma amplification
+    logarithmically (large intensity gains otherwise oversaturate):
+    the chroma offsets around the intensity are scaled by
+    ``log(1 + (g-1)*p) / log(p)``-style compression instead of g itself.
     """
     inten = luma(rgb)
     enhanced = msr(inten, sigmas)
-    scale = enhanced / jnp.maximum(inten, 1.0 / 255.0)
+    gain = enhanced / jnp.maximum(inten, 1.0 / 255.0)
     # bound the gain to avoid blowing up dark pixels
-    scale = jnp.clip(scale, 0.0, 4.0)
-    return jnp.clip(rgb * scale[..., None], 0.0, 1.0)
+    gain = jnp.clip(gain, 0.0, 4.0)
+    if chroma_protect and chroma_protect > 1.0:
+        p = float(chroma_protect)
+        cgain = jnp.where(
+            gain > 1.0,
+            1.0 + jnp.log1p((gain - 1.0) * p) / math.log(1.0 + p),
+            gain,
+        )
+    else:
+        cgain = gain
+    # decompose into intensity + chroma offsets; amplify offsets with the
+    # protected gain, intensity with the full gain
+    offs = rgb - inten[..., None]
+    out = enhanced[..., None] + offs * cgain[..., None]
+    return jnp.clip(out, 0.0, 1.0)
 
 
 # alias matching the reference's naming

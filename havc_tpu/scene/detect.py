@@ -123,7 +123,21 @@ def _stats_kernel(gray_small: jnp.ndarray, offset: jnp.ndarray):
     return lumas, diffs, hists
 
 
-def frame_stats(frames: np.ndarray, offset: int = 1):
+def _normalize_luma(gray: jnp.ndarray, tht_black: float = 0.19,
+                    tht_white: float = 0.70) -> jnp.ndarray:
+    """Per-frame min-max luma stretch, gated to mid-luma frames
+    (sc_normalize -> vsscdect.sc_clip_normalize:90 + vsutils
+    frame_normalize:304; gate constants DEF_THT_BLACK/WHITE_MIN,
+    constants.py:43-44)."""
+    mean = gray.mean(axis=(-2, -1), keepdims=True)
+    lo = gray.min(axis=(-2, -1), keepdims=True)
+    hi = gray.max(axis=(-2, -1), keepdims=True)
+    stretched = (gray - lo) / jnp.maximum(hi - lo, 1e-6)
+    gate = (mean > tht_black) & (mean < tht_white)
+    return jnp.where(gate, stretched, gray)
+
+
+def frame_stats(frames: np.ndarray, offset: int = 1, normalize: bool = False):
     """Device phase: returns (gray_small[T,h,w], luma[T], diff[T], hist[T,256]).
 
     ``frames``: (T, H, W, 3) RGB [0,1] (numpy or jnp).
@@ -133,6 +147,8 @@ def frame_stats(frames: np.ndarray, offset: int = 1):
     h, w = gray.shape[-2], gray.shape[-1]
     nh, nw = _work_size(h, w)
     gray_small = resize(gray[..., None], nh, nw, "bicubic")[..., 0]
+    if normalize:
+        gray_small = _normalize_luma(gray_small)
     lumas, diffs, hists = _stats_kernel(gray_small, jnp.asarray(offset))
     return (
         np.asarray(gray_small),
@@ -192,6 +208,7 @@ class SceneDetector:
     tht_white: float = DEF_THT_WHITE
     tht_black: float = DEF_THT_BLACK
     tht_offset: int = 1
+    normalize: bool = False
     adaptive_ratio: float = field(default=0.0)
 
     def __post_init__(self):
@@ -322,7 +339,8 @@ class SceneDetector:
 
         t_offset = min(max(self.tht_offset, 1), 25)
         m_length = min(max(self.min_length, 1), 25)
-        grays, lumas, diffs, hists = frame_stats(frames, t_offset)
+        grays, lumas, diffs, hists = frame_stats(
+            frames, t_offset, normalize=self.normalize)
 
         use_custom = (
             self.sc_tht_filter > 0.0 or self.threshold < 0.10 or t_offset > 1
@@ -357,6 +375,7 @@ def scene_detect(
     tht_white: float = DEF_THT_WHITE,
     tht_black: float = DEF_THT_BLACK,
     tht_offset: int = 1,
+    normalize: bool = False,
 ) -> SceneFlags:
     """Functional front-end mirroring vsscdect.SceneDetect's signature."""
     det = SceneDetector(
@@ -367,5 +386,6 @@ def scene_detect(
         tht_white=tht_white,
         tht_black=tht_black,
         tht_offset=tht_offset,
+        normalize=normalize,
     )
     return det.detect(frames)

@@ -85,71 +85,159 @@ def _temporal_median3(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _gaussian_blur_small(x: jnp.ndarray, sigma: float = 1.2) -> jnp.ndarray:
+    """Small-sigma separable Gaussian for the TCanny-role pre-blur."""
+    r = max(int(3 * sigma), 1)
+    t = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-(t**2) / (2 * sigma * sigma))
+    k /= k.sum()
+    kx = jnp.asarray(k)[None, None, None, :]
+    ky = jnp.asarray(k)[None, None, :, None]
+    xin = jnp.pad(x[:, None], ((0, 0), (0, 0), (r, r), (r, r)), mode="edge")
+    out = lax.conv_general_dilated(xin, ky, (1, 1), "VALID")
+    out = lax.conv_general_dilated(out, kx, (1, 1), "VALID")
+    return out[:, 0]
+
+
+def retinex_edgemask_draft(gray: jnp.ndarray, sigma: float = 1.2) -> jnp.ndarray:
+    """Draft retinex edge mask (vsscdetect_edge.retinex_edgemask:120,
+    draft=True): sqrt gamma boost -> TCanny(mode=1) gradient magnitude,
+    summed with the Kirsch compass response, clipped to [0,1]."""
+    enhanced = jnp.sqrt(jnp.clip(gray, 0.0, 1.0))
+    tcanny = sobel_magnitude(_gaussian_blur_small(enhanced, sigma))
+    resp = _conv2d(gray, _KIRSCH)  # (T,8,H,W), saturate=False -> |resp|
+    kirsch_mag = jnp.max(jnp.abs(resp), axis=1) / 15.0
+    return jnp.clip(kirsch_mag + tcanny, 0.0, 1.0)
+
+
 @jax.jit
-def _edge_kernel(gray_small: jnp.ndarray):
-    edges = kirsch_edges(gray_small)
-    mag = sobel_magnitude(gray_small)
-    mask = jnp.maximum(edges, (mag > 0.25).astype(gray_small.dtype))
-    mask = _temporal_median3(mask)
-    density = mask.mean(axis=(-2, -1))
-    # edge-change ratio vs previous frame: new + vanished edges
-    t = mask.shape[0]
-    prev = mask[jnp.clip(jnp.arange(t) - 1, 0, t - 1)]
-    changed = jnp.abs(mask - prev).mean(axis=(-2, -1))
-    ecr = changed / jnp.maximum(jnp.maximum(density, density[jnp.clip(jnp.arange(t) - 1, 0, t - 1)]), 1e-4)
+def _edge_kernel(gray_small: jnp.ndarray, offset: int = 2):
+    t = gray_small.shape[0]
+    mask = retinex_edgemask_draft(gray_small)
+    nxt = gray_small[jnp.clip(jnp.arange(t) + offset, 0, t - 1)]
+    diff = jnp.abs(gray_small - nxt)
+    # PlaneStatsAverage of MaskedMerge(blank, diff, mask) == mean(diff*mask)
+    edge_diff = 10.0 * (diff * mask).mean(axis=(-2, -1))
+    ssim_diff = 4.0 * diff.mean(axis=(-2, -1))
     lumas = gray_small.mean(axis=(-2, -1))
-    return mask, density, ecr, lumas
+    return mask, edge_diff, ssim_diff, lumas
 
 
-def edge_stats(frames: np.ndarray):
-    """Device phase: downscale luma, edge masks, density, edge-change ratio."""
+def edge_stats(frames: np.ndarray, offset: int = 2):
+    """Device phase: downscale luma, draft retinex edge mask, the
+    reference's edge_diff (masked) and ssim_diff (plain) statistics."""
     x = jnp.asarray(frames)
     gray = luma(x)
     h, w = gray.shape[-2], gray.shape[-1]
     nh, nw = _work_size(h, w)
     gray_small = resize(gray[..., None], nh, nw, "bicubic")[..., 0]
-    mask, density, ecr, lumas = _edge_kernel(gray_small)
+    mask, edge_diff, ssim_diff, lumas = _edge_kernel(gray_small, offset)
     return (
-        np.asarray(gray_small), np.asarray(mask), np.asarray(density),
-        np.asarray(ecr), np.asarray(lumas),
+        np.asarray(gray_small), np.asarray(mask), np.asarray(edge_diff),
+        np.asarray(ssim_diff), np.asarray(lumas),
     )
 
 
 def scene_detect_edges(
     frames: np.ndarray,
-    threshold: float = 0.5,
-    min_length: int = 1,
-    tht_white: float = DEF_THT_WHITE,
-    tht_black: float = DEF_THT_BLACK,
+    threshold: float = 0.07,
+    frequency: int = 0,
     sc_tht_ssim: float = 0.0,
+    sc_diff_offset: int = 2,
+    sc_min_int: int = 30,
+    sc_mult_tht: int = 7,
+    tht_white: float = DEF_THT_WHITE,
+    tht_black: float = 0.12,
+    min_length: int | None = None,  # legacy alias of sc_min_int
 ) -> SceneFlags:
-    """Edge-change-ratio detector with luma gates + optional SSIM filter
-    (vsscdetect_edge.vs_edge_based_scenedetect:140 semantics)."""
+    """Edge-based detector with the reference's full decision ladder
+    (vsscdetect_edge.py:32-260 SceneDetectEdges +
+    vs_edge_based_scenedetect): draft retinex edge mask, offset-N frame
+    diff, multi-threshold reasons —
+
+    * reason 3/4: the classic luma detector fired (mandatory_ref_1; +4 when
+      the edge diff also exceeds ``sc_mult_tht`` x threshold),
+    * reason 2: edge diff alone exceeds ``sc_mult_tht`` x threshold
+      (mandatory_ref_2),
+    * reason 1: both edge_diff > threshold and ssim_diff > 1.75*threshold
+      with the ``sc_min_int`` minimum distance,
+
+    all gated to ``tht_black <= luma <= tht_white``, with the repeated-
+    mandatory dedup distance ``max(sc_mult_tht*0.5, 3)``.  An optional
+    SSIM confirmation pass (``sc_tht_ssim``) drops cuts too similar to the
+    previous reference."""
+    if min_length is not None:
+        sc_min_int = min_length
     T = len(frames)
-    grays, mask, density, ecr, lumas = edge_stats(frames)
+    sc_mult_tht = 7 if sc_mult_tht == 0 else sc_mult_tht
+    sc_diff_offset = max(sc_diff_offset, 1)
+    ssim_diff_threshold = round(1.75 * threshold, 5)
+
+    grays, mask, edge_diff, ssim_diff, lumas = edge_stats(frames, sc_diff_offset)
+
+    # mandatory_ref_1: the classic luma detector at threshold 0.10
+    # (vsscdetect_edge.py:170: misc.SCDetect(threshold=0.10))
+    from .detect import scene_detect as _luma_detect
+
+    luma_flags = _luma_detect(np.asarray(frames), threshold=0.10)
+    mandatory_1 = luma_flags.sc_prev.astype(bool)
 
     sc = np.zeros(T, dtype=np.int8)
-    last_ref = None
-    prev_gray = None
+    reason = np.zeros(T, dtype=np.int8)
+    last_sc = -sc_min_int
+    last_status = ""
+    prev_ref_gray = None
+    min_dist_small = max(int(sc_mult_tht * 0.5), 3)
     for n in range(T):
+        if n == 0:
+            sc[n] = 1
+            reason[n] = 4
+            last_sc = 0
+            last_status = "tht_max_first"
+            prev_ref_gray = grays[n]
+            continue
         f_luma = float(lumas[n])
-        if n == 0 or last_ref is None:
-            accept = True
-        elif n - last_ref < min_length:
-            accept = False
-        else:
-            accept = float(ecr[n]) > threshold
-            accept = accept and (tht_black < f_luma < tht_white)
-            if accept and 0.0 < sc_tht_ssim < 1.0 and prev_gray is not None:
-                accept = _ssim_uniform(grays[n], prev_gray) < sc_tht_ssim
+        in_luma = tht_black <= f_luma <= tht_white
+        above_tht = (float(edge_diff[n]) > threshold) and (
+            float(ssim_diff[n]) > ssim_diff_threshold)
+        above_dist_max = (n - last_sc) >= sc_min_int
+        above_dist_min = (n - last_sc) >= min_dist_small
+        m1 = bool(mandatory_1[n])
+        m2 = float(edge_diff[n]) > threshold * sc_mult_tht
+        accept = False
+        if in_luma:
+            if m1:
+                if ("tht_max" not in last_status) or above_dist_min:
+                    accept = True
+                    reason[n] = 4 if m2 else 3
+                    last_status = "tht_max+edge_max" if m2 else "tht_max"
+            elif m2:
+                if ("edge_max" not in last_status) or above_dist_min:
+                    accept = True
+                    reason[n] = 2
+                    last_status = "edge_max"
+            elif above_dist_max and above_tht:
+                accept = True
+                reason[n] = 1
+                last_status = "accepted"
+        if accept and 0.0 < sc_tht_ssim < 1.0 and prev_ref_gray is not None:
+            if _ssim_uniform(grays[n], prev_ref_gray) >= sc_tht_ssim:
+                accept = False
+                reason[n] = 0
         if accept:
             sc[n] = 1
-            last_ref = n
-            prev_gray = grays[n]
+            last_sc = n
+            prev_ref_gray = grays[n]
+
+    if frequency > 1:
+        # frequency forcing on top of detection (SceneDetectEdges freq path)
+        for n in range(T):
+            if n % frequency == 0:
+                sc[n] = 1
     return SceneFlags(
         sc_prev=sc,
         sc_next=np.zeros(T, dtype=np.int8),
         luma=lumas.astype(np.float32),
-        ratio=ecr.astype(np.float32),
+        ratio=edge_diff.astype(np.float32),
         threshold=threshold,
     )

@@ -19,6 +19,7 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -213,6 +214,45 @@ void f32_to_u8(const float* src, uint8_t* dst, int64_t n) {
         if (v < 0.f) v = 0.f;
         if (v > 255.f) v = 255.f;
         dst[i] = (uint8_t)v;
+    }
+}
+
+// Floyd–Steinberg error-diffusion quantizer: float plane (arbitrary scale,
+// caller pre-maps to the target code range) -> uint8 codes.  The encode-path
+// equivalent of zimg's dither_type="error_diffusion" that the reference's
+// restore_format relies on (havc_utils.py:167-237) — sequential error
+// propagation is a poor fit for XLA, so it runs here on the host.
+//   src: h*w floats already scaled to output code values (e.g. 16..235)
+//   lo/hi: clamp range of the output codes
+void fs_dither_u8(const float* src, uint8_t* dst, int w, int h,
+                  float lo, float hi) {
+    std::vector<float> err_cur((size_t)w + 2, 0.f);
+    std::vector<float> err_next((size_t)w + 2, 0.f);
+    for (int y = 0; y < h; y++) {
+        std::fill(err_next.begin(), err_next.end(), 0.f);
+        for (int x = 0; x < w; x++) {
+            float v = src[(size_t)y * w + x] + err_cur[x + 1];
+            float q = v + 0.5f;
+            if (q < lo) q = lo;
+            if (q > hi) q = hi;
+            uint8_t code = (uint8_t)q;
+            dst[(size_t)y * w + x] = code;
+            float e = v - (float)code;
+            err_cur[x + 2]  += e * (7.0f / 16.0f);
+            err_next[x]     += e * (3.0f / 16.0f);
+            err_next[x + 1] += e * (5.0f / 16.0f);
+            err_next[x + 2] += e * (1.0f / 16.0f);
+        }
+        std::swap(err_cur, err_next);
+    }
+}
+
+// Batched form: n independent planes (frames) of h*w.
+void fs_dither_u8_batch(const float* src, uint8_t* dst, int n, int w, int h,
+                        float lo, float hi) {
+    for (int i = 0; i < n; i++) {
+        fs_dither_u8(src + (size_t)i * w * h, dst + (size_t)i * w * h,
+                     w, h, lo, hi);
     }
 }
 

@@ -65,8 +65,11 @@ class TestMemoryVivid:
         ab_v = colormnet_propagate(eng, frames, ref_ab, is_ref, vivid=True)
         ab_n = colormnet_propagate(eng, frames, ref_ab, is_ref, vivid=False)
         assert np.isfinite(ab_v).all() and np.isfinite(ab_n).all()
-        # both pass refs through
-        assert np.abs(ab_v[0] - ab_n[0]).max() < 5e-3
+        # propagate mode (non-vivid) passes the reference ab through on ref
+        # frames (InferenceCore.step); vivid uses the exemplar-insert branch
+        # whose ref-frame output is the network PREDICTION — they differ
+        assert np.abs(ab_n[0] - ref_ab[0]).max() < 5e-3
+        assert not np.allclose(ab_v, ab_n)
 
 
 class TestPlaceboTiled:

@@ -59,3 +59,51 @@ def test_no_colormap_branch():
     ref = np.asarray(pk.post_chain_reference(x))
     out = np.asarray(pk.post_chain_pallas(x))
     assert np.abs(out - ref).max() < 1e-6
+
+
+class TestLocalWindowAttention:
+    """ops/pallas_attn: VMEM-resident window attention == unfold oracle."""
+
+    def test_kernel_matches_unfold(self):
+        from havc_tpu.ops.pallas_attn import (
+            local_window_attention, local_window_attention_reference)
+
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((2, 6, 9, 16)).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.standard_normal((2, 6, 9, 16)).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.standard_normal((2, 6, 9, 32)).astype(np.float32) * 0.3)
+        rel = jnp.asarray(rng.standard_normal((2, 6, 9, 225)).astype(np.float32) * 0.1)
+        ref = np.asarray(local_window_attention_reference(q, k, v, rel))
+        got = np.asarray(local_window_attention(q, k, v, rel, interpret=True))
+        assert np.abs(ref - got).max() < 1e-4
+
+    def test_module_pallas_path_matches_unfold(self):
+        """LocalAttention(use_pallas=True, interpret via CPU) == the unfold
+        path with the same params."""
+        import jax
+        from havc_tpu.models.colormnet import LocalAttention
+        from havc_tpu.ops import pallas_attn
+
+        if jax.default_backend() != "tpu":
+            # route the pallas branch through the interpreter on CPU
+            orig = pallas_attn.local_window_attention
+
+            def interp(*a, **kw):
+                kw["interpret"] = True
+                return orig(*a, **kw)
+
+            pallas_attn.local_window_attention = interp
+        try:
+            rng = np.random.default_rng(1)
+            q = jnp.asarray(rng.standard_normal((1, 6, 9, 16)).astype(np.float32) * 0.3)
+            k = jnp.asarray(rng.standard_normal((1, 6, 9, 16)).astype(np.float32) * 0.3)
+            v = jnp.asarray(rng.standard_normal((1, 6, 9, 32)).astype(np.float32) * 0.3)
+            m_ref = LocalAttention(d_qk=16, d_vu=32, use_pallas=False)
+            params = m_ref.init(jax.random.PRNGKey(0), q, k, v)
+            ref = np.asarray(m_ref.apply(params, q, k, v))
+            m_pal = LocalAttention(d_qk=16, d_vu=32, use_pallas=True)
+            got = np.asarray(m_pal.apply(params, q, k, v))
+            assert np.abs(ref - got).max() < 1e-4
+        finally:
+            if jax.default_backend() != "tpu":
+                pallas_attn.local_window_attention = orig

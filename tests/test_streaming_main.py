@@ -1,0 +1,117 @@
+"""HAVC_main_streaming: chunked==whole equivalence and bounded memory."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import cv2
+
+from havc_tpu import streaming
+from havc_tpu.ops import temporal as temporal_ops
+from havc_tpu.ops.resize import resize
+from havc_tpu.filters import recover_clip_luma
+
+
+def _write_test_video(path, t=40, h=72, w=96, seed=0):
+    rng = np.random.default_rng(seed)
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 25, (w, h))
+    base = rng.random((h, w, 3)).astype(np.float32)
+    frames = []
+    for i in range(t):
+        f = np.clip(base * (0.5 + 0.4 * np.sin(i / 5.0)) + 0.1 * rng.random((h, w, 3)), 0, 1)
+        g = f.mean(axis=-1, keepdims=True).repeat(3, axis=-1)  # grayscale-ish
+        frames.append(g.astype(np.float32))
+        wr.write(cv2.cvtColor((g * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+    wr.release()
+    return frames
+
+
+def _read_video(path):
+    cap = cv2.VideoCapture(str(path))
+    out = []
+    while True:
+        ok, bgr = cap.read()
+        if not ok:
+            break
+        out.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0)
+    cap.release()
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("chunk_size", [8, 16])
+def test_streaming_equals_whole_clip(tmp_path, chunk_size):
+    """The overlap-chunked temporal stage must reproduce the whole-clip
+    ops exactly (same per-frame stage, same temporal window math)."""
+    src = tmp_path / "in.mp4"
+    _write_test_video(src, t=40)
+
+    out_path = tmp_path / "out.mp4"
+    n = streaming.HAVC_main_streaming(
+        str(src), str(out_path), Preset="fast",
+        ColorModel="zhang(eccv16)", batch_size=8, chunk_size=chunk_size,
+    )
+    assert n == 40
+    got = _read_video(out_path)
+    assert got.shape[0] == 40
+
+    # whole-clip reference: identical stage composition without chunking
+    from havc_tpu import presets as pr
+
+    frames = _read_video(src)
+    _, do_rf, dd_rf = pr.get_render_factors("fast")
+    do_model, dd_model, dd_method = pr.get_color_model("zhang(eccv16)")
+    method = 1 if dd_method == 1 else 2
+    dd_tweak, hue_range, hue_range2, _, chroma_adjust2 = pr.get_color_tune(
+        "light", "violet/red", "none", dd_model)
+    frame_size = min(max(do_rf, dd_rf) * 16, frames.shape[2])
+    stage, params = streaming._build_frame_stage(
+        method, pr.get_mweight("balanced"), do_model, dd_model, do_rf, dd_rf,
+        dd_tweak, hue_range, hue_range2, chroma_adjust2, frame_size,
+    )
+    work = []
+    for s in range(0, 40, 8):
+        work.append(np.asarray(stage(params, jnp.asarray(frames[s:s + 8]))))
+    work = np.concatenate(work)
+    sm = np.asarray(temporal_ops.chroma_stabilizer(
+        jnp.asarray(work), nframes=5, weighted=False, sat=1.0, tht=15))
+    sm = work * 0.2 + sm * 0.8
+    sm = np.asarray(temporal_ops.reduce_flicker(jnp.asarray(sm)))
+    full = np.asarray(recover_clip_luma(
+        jnp.asarray(frames),
+        jnp.clip(resize(jnp.asarray(sm), frames.shape[1], frames.shape[2],
+                        "spline64"), 0, 1),
+    ))
+    # compare pre-encode output against the decoded stream (mp4 is lossy:
+    # allow codec-scale tolerance, but the mean must be tight)
+    err = np.abs(full - got).mean()
+    assert err < 0.02, f"streaming vs whole-clip mean err {err:.4f}"
+
+
+def test_streaming_bounded_buffers(tmp_path, monkeypatch):
+    """Internal buffers must stay O(chunk + halo) regardless of length."""
+    src = tmp_path / "in.mp4"
+    _write_test_video(src, t=64, h=48, w=64)
+    peak = {"n": 0}
+
+    orig_stack = np.stack
+
+    def spy_stack(arrays, *a, **k):
+        arrays = list(arrays) if not isinstance(arrays, np.ndarray) else arrays
+        if isinstance(arrays, list) and arrays and isinstance(arrays[0], np.ndarray):
+            peak["n"] = max(peak["n"], len(arrays))
+        return orig_stack(arrays, *a, **k)
+
+    monkeypatch.setattr(streaming.np, "stack", spy_stack)
+    out_path = tmp_path / "out.mp4"
+    n = streaming.HAVC_main_streaming(
+        str(src), str(out_path), Preset="fast", ColorModel="zhang(eccv16)",
+        batch_size=4, chunk_size=8,
+    )
+    assert n == 64
+    # halo = 3 (nframes 5 -> nh 2, +1 deflicker); ext = chunk + 2*halo = 14
+    assert peak["n"] <= 8 + 2 * 3 + 1
