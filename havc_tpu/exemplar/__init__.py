@@ -216,6 +216,12 @@ def colormnet_propagate(
     * ``vivid`` resets the entire memory + hidden at each new reference
       (colormnet_render.py:204-221 reset_on_ref_update) and uses the
       exemplar-insert branch for ref frames.
+
+    Performance structure: the KEY ENCODER (resnet50 + DINOv2 — the bulk of
+    the FLOPs) has no sequential dependence, so it runs BATCHED over frames
+    outside the scan (full MXU utilization); only the carry-dependent work
+    (memory readout, short-term attention, decoder, value encoder) stays in
+    the per-frame scan.
     """
     from ..models import memory as mem
 
@@ -229,9 +235,12 @@ def colormnet_propagate(
     def step(params, carry, inputs):
         p_key, p_proj, p_value, p_dec, p_attn = params
         state, hidden, last_key, last_value, frame_idx, last_mem_t = carry
-        frame_l3, ref_l3, rab, ref_flag = inputs
+        (frame_l3, g16, g8, g4, key, shrink, sel,
+         ref_pre, rab, ref_flag) = inputs
         frame_b = frame_l3[None]
         rab_oihw = rab.transpose(2, 0, 1)  # (O=2, H, W)
+        g16, g8, g4 = g16[None], g8[None], g4[None]
+        key, shrink, sel = key[None], shrink[None], sel[None]
 
         if vivid:
             # full reset at each new reference: the reference deletes the
@@ -243,26 +252,23 @@ def colormnet_propagate(
             state = jax.lax.cond(ref_flag, clear, lambda s: s, state)
             hidden = jnp.where(ref_flag, jnp.zeros_like(hidden), hidden)
 
-        g16, g8, g4 = engine.key_encoder.apply(p_key, frame_b)
-        key, shrink, sel = engine.key_proj.apply(p_proj, g16)
         qk = key[0].reshape(P, -1)
         qe = sel[0].reshape(P, -1)
 
         if exemplar_insert:
             # step_AnyExemplar: encode the exemplar image's OWN key/value
-            # and insert it (hidden freshly created = zeros for its encode)
-            ref_b = ref_l3[None]
-            rg16, _, _ = engine.key_encoder.apply(p_key, ref_b)
-            rkey, rshrink, _ = engine.key_proj.apply(p_proj, rg16)
+            # and insert it (hidden freshly created = zeros for its encode);
+            # ref keys/features were precomputed batched
+            ref_l3, rg16, rkey, rshrink = ref_pre
             rvalue, _ = engine.value_encoder.apply(
-                p_value, ref_b, rg16, jnp.zeros_like(hidden), rab_oihw[None],
-                deep_update=False,
+                p_value, ref_l3[None], rg16[None], jnp.zeros_like(hidden),
+                rab_oihw[None], deep_update=False,
             )
             state = mem.insert_reference(
-                state, cfg, rkey[0].reshape(P, -1), rshrink[0].reshape(P),
+                state, cfg, rkey.reshape(P, -1), rshrink.reshape(P),
                 rvalue.reshape(2, P, engine.value_dim), ref_flag,
             )
-            last_key = jnp.where(ref_flag, rkey, last_key)
+            last_key = jnp.where(ref_flag, rkey[None], last_key)
             last_value = jnp.where(ref_flag, rvalue, last_value)
         # hidden is re-created (zeroed) whenever a reference arrives
         # (memory.create_hidden_state, inference_core.py:103/168)
@@ -347,12 +353,50 @@ def colormnet_propagate(
         ("colormnet_l3", engine.h, engine.w, str(dtype)),
         lambda: lambda x: _lab_l3(x).astype(dtype),
     )
+
+    # batched key-encoder precompute (chunks of ENC_B frames, one compile)
+    ENC_B = 8
+
+    def _enc_fn(p_key, p_proj, x):
+        g16, g8, g4 = engine.key_encoder.apply(p_key, x)
+        key, shrink, sel = engine.key_proj.apply(p_proj, g16)
+        return g16, g8, g4, key, shrink, sel
+
+    enc = cached_jit(
+        ("colormnet_enc", engine.cfg_name, engine.h, engine.w, str(dtype),
+         ENC_B),
+        lambda: _enc_fn,
+    )
+
+    def batch_encode(l3):
+        T_ = l3.shape[0]
+        outs = []
+        for s in range(0, T_, ENC_B):
+            chunk = l3[s : s + ENC_B]
+            n = chunk.shape[0]
+            if n < ENC_B:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], ENC_B - n, 0)]
+                )
+            outs.append([o[:n] for o in enc(engine.p_key, engine.p_proj, chunk)])
+        return [jnp.concatenate([o[i] for o in outs]) for i in range(6)]
+
+    frames_l3 = prep(jnp.asarray(frames, jnp.float32))
+    g16s, g8s, g4s, keys, shrinks, sels = batch_encode(frames_l3)
+
+    if exemplar_insert:
+        refs_l3 = prep(jnp.asarray(ref_frames, jnp.float32))
+        rg16s, _, _, rkeys, rshrinks, _ = batch_encode(refs_l3)
+        ref_pre = (refs_l3, rg16s, rkeys, rshrinks)
+    else:
+        ref_pre = jnp.zeros((frames_l3.shape[0],), dtype)  # unused placeholder
+
     final_carry, ab_seq = scan_fn(
         params,
         carry0,
         (
-            prep(jnp.asarray(frames, jnp.float32)),
-            prep(jnp.asarray(ref_frames, jnp.float32)),
+            frames_l3, g16s, g8s, g4s, keys, shrinks, sels,
+            ref_pre,
             jnp.asarray(ref_ab, dtype),
             jnp.asarray(is_ref.astype(bool)),
         ),
@@ -518,11 +562,22 @@ class RemasterEngine:
 def remaster_propagate(
     engine: RemasterEngine,
     frames: np.ndarray,  # (T, H, W, 3) [0,1] at working size
-    ref_frames: np.ndarray,  # (R, H, W, 3) reference buffer (<=50)
+    ref_frames: np.ndarray,  # (R, H, W, 3) ALL reference frames (time order)
     length: int = 2,
+    ref_positions: Optional[np.ndarray] = None,  # (R,) frame index per ref
+    ref_buffer_size: int = 20,
+    future_frame_weight: float = 0.5,  # constants.py:74
 ) -> np.ndarray:
     """Windowed 3D-CNN colorization (remaster_render.py:232-330): process
-    ``length`` frames per forward against the reference tensor buffer.
+    ``length`` frames per forward against a SLIDING reference buffer.
+
+    The buffer holds ``ref_buffer_size`` consecutive entries of the
+    time-ordered reference list and advances one slot whenever the current
+    frame passes the buffer's past/future split point
+    (remaster_render.ref_buffer_adjust:203-231: half index =
+    ``round(size * (1 - DEF_FUTURE_FRAME_WEIGHT)) - 1``) — so each window
+    sees roughly half past and half future references.  Without
+    ``ref_positions`` the buffer is static (all refs, old behaviour).
 
     LAB conventions per remaster_utils.py:29-44: input L in [0,1]
     (L/100); output ab01 -> ab = clip(ab01*255-128, -100, 100).
@@ -530,15 +585,27 @@ def remaster_propagate(
     T, H, W, _ = frames.shape
     lab = np.asarray(rgb_to_lab(jnp.asarray(frames)))
     l01 = lab[..., 0:1] / 100.0
-    refs = jnp.asarray(ref_frames)[None]  # (1, R, H, W, 3)
+    ref_frames = np.asarray(ref_frames)
+    R = ref_frames.shape[0]
+    S = min(ref_buffer_size, R)
 
     fwd = cached_jit(
-        ("remaster_fwd", H, W, length, ref_frames.shape[0]),
+        ("remaster_fwd", H, W, length, S),
         lambda: lambda p, l, r: engine.model.apply(p, l, r),
     )
 
+    half_idx = max(round(S * (1.0 - future_frame_weight)) - 1, 0)
+    win_start = 0
+
     outs = []
     for s in range(0, T, length):
+        if ref_positions is not None:
+            # slide while the current frame has passed the split ref
+            while (win_start + S < R) and (
+                s > ref_positions[win_start + half_idx]
+            ):
+                win_start += 1
+        refs = jnp.asarray(ref_frames[win_start : win_start + S])[None]
         chunk = l01[s : s + length]
         n = chunk.shape[0]
         if n < length:
@@ -784,8 +851,12 @@ def HAVC_deepex(
         colored_small = ((a + b) * 0.5).astype(np.float32)
     elif ex_model == 2:
         engine = _get_engine("remaster")
-        ref_sel = work_refs[is_ref][:8]
-        colored_small = remaster_propagate(engine, work_frames, ref_sel)
+        # sliding past/future reference window over ALL scene-change refs
+        # (remaster_render.ref_buffer_adjust)
+        ref_pos = np.nonzero(is_ref)[0]
+        colored_small = remaster_propagate(
+            engine, work_frames, work_refs[is_ref], ref_positions=ref_pos,
+        )
         if vivid:
             fn = cached_jit(
                 ("vivid_post",),

@@ -216,3 +216,50 @@ class TestChunkedResume:
         )
         chunked = np.concatenate([ab1, ab2])
         assert np.abs(chunked - whole).max() < 5e-3
+
+
+class TestRemasterSlidingWindow:
+    def test_window_advances_past_future_split(self):
+        """ref_buffer_adjust semantics (remaster_render.py:203-231): the
+        S-slot buffer slides forward once the current frame passes the
+        past/future split reference."""
+        from havc_tpu import exemplar
+
+        seen = []
+
+        class StubModel:
+            def apply(self, params, l, refs):
+                seen.append(np.asarray(refs)[0, :, 0, 0, 0].copy())
+                t = l.shape[1]
+                return jnp.full(l.shape[:-1] + (2,), 0.5, jnp.float32)
+
+        class StubEngine:
+            model = StubModel()
+            params = None
+
+        T, H, W = 24, 8, 8
+        frames = np.full((T, H, W, 3), 0.5, np.float32)
+        # 8 refs at frames 0,3,6,...,21; tag each ref by its value
+        ref_pos = np.arange(0, 24, 3)
+        refs = np.zeros((8, H, W, 3), np.float32)
+        for i in range(8):
+            refs[i] = i / 10.0
+        # run un-jitted so the stub can observe concrete ref windows
+        orig_cached_jit = exemplar.cached_jit
+        exemplar.cached_jit = lambda key, thunk: thunk()
+        try:
+            out = exemplar.remaster_propagate(
+                StubEngine(), frames, refs, length=2, ref_positions=ref_pos,
+                ref_buffer_size=4,
+            )
+        finally:
+            exemplar.cached_jit = orig_cached_jit
+        assert out.shape == (T, H, W, 3)
+        firsts = [w[0] for w in seen]
+        # early windows use refs starting at 0; later windows slide forward
+        assert firsts[0] == 0.0
+        assert firsts[-1] > 0.0
+        # window always 4 slots, consecutive refs
+        for w in seen:
+            assert len(w) == 4
+            np.testing.assert_allclose(np.diff(w), 0.1, atol=1e-6)
