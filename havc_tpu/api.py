@@ -854,18 +854,65 @@ def HAVC_main(
         colored_tiles = HAVC_main_presets(tiles_clip, preset="slower", **common)
         return HAVC_clip_reconstruct(clip, colored_tiles, meta)
 
-    if pr_id == 1:  # veryslow: dual darkened pass
-        darkened = HAVC_tweak(clip, bright=-0.06, batch_size=batch_size)
-        pass_a = HAVC_main_presets(
-            darkened, preset="slower",
-            **{**common, "color_model": "deoldify(video)"},
-        )
-        pass_b = HAVC_main_presets(
-            darkened, preset="slower",
-            **{**common, "color_model": "ddcolor(artistic)"},
-        )
-        merged = HAVC_merge(pass_a, pass_b, method=2, mweight=presets.get_mweight(VideoTune))
-        return merged
+    if pr_id == 1:
+        # veryslow: dual darkened pass (HAVC_veryslow_preset,
+        # __init__.py:341-428) — DeOldify pass darkened harder
+        # (gamma 0.90 / cont 0.80) + ColorAdjust + slight desat; DDColor
+        # pass lighter (0.95/0.95); merged at the VideoTune weight; then a
+        # final ColorAdjust + hue/sat tweak blended 40/60, and optional
+        # ColorTemp re-color through the second ColorMNet instance.
+        do_name, dd_name, dd_method = presets.get_color_model(ColorModel)
+        pass_a = pass_b = None
+        if dd_method != 1:  # DeOldify half
+            dark_a = HAVC_tweak(clip, bright=-1 / 255.0, gamma=0.90,
+                                cont=0.80, batch_size=batch_size)
+            pass_a = HAVC_main_presets(
+                dark_a, preset="slower",
+                **{**common,
+                   "color_model": f"deoldify({['video', 'stable', 'artistic'][do_name]})",
+                   "color_fix": "none", "color_tune": "medium"},
+            )
+            pass_a = HAVC_bw_tune(pass_a, "medium", method=4, batch_size=batch_size)
+            pass_a = HAVC_tweak(pass_a, sat=0.95, hue=5, batch_size=batch_size)
+        if dd_method != 0:  # DDColor/Zhang half
+            dark_b = HAVC_tweak(clip, bright=-1 / 255.0, gamma=0.95,
+                                cont=0.95, batch_size=batch_size)
+            dd_names = {0: "ddcolor(modelscope)", 1: "ddcolor(artistic)",
+                        2: "zhang(siggraph17)", 3: "zhang(eccv16)"}
+            pass_b = HAVC_main_presets(
+                dark_b, preset="slower",
+                **{**common,
+                   "color_model": dd_names.get(dd_name, "ddcolor(artistic)")},
+            )
+        if pass_a is None:
+            merged = pass_b
+        elif pass_b is None:
+            merged = pass_a
+        else:
+            merged = HAVC_merge(
+                pass_a, pass_b, method=presets.get_comb_method(CombMethod),
+                mweight=presets.get_mweight(VideoTune),
+            )
+        ct_id = presets.get_temp_color(ColorTemp)
+        if ct_id > 0:
+            # temporal re-color through ColorMNet instance 2
+            # (__init__.py:404-412)
+            from .exemplar import HAVC_cmnet2
+            from .scene.detect import SceneFlags
+
+            ref = merged.with_sc(SceneFlags.every(merged.num_frames, freq=1))
+            merged = HAVC_cmnet2(
+                clip, ref, ref_weight={1: 0.9, 2: 0.8, 3: 0.7, 4: 0.6,
+                                       5: 0.5}[ct_id],
+                vivid=True, dark=True, dark_p=(0.2, 0.8), smooth=True,
+                smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
+                colormap="300:360|0.8,0.1",
+            )
+        adjusted = HAVC_bw_tune(merged, BWTune, batch_size=batch_size) \
+            if BWTune.lower() != "none" else merged
+        adjusted = HAVC_tweak(adjusted, hue=10, sat=1.05, cont=0.90,
+                              batch_size=batch_size)
+        return HAVC_merge(adjusted, merged, method=2, mweight=0.4)
 
     return HAVC_main_presets(clip, preset=Preset, **common)
 
