@@ -569,17 +569,53 @@ def HAVC_SceneDetect(
         tht_white=sc_tht_white,
         tht_black=sc_tht_black,
         tht_offset=sc_tht_offset,
+        normalize=sc_normalize,
     )
     return clip.with_sc(flags)
 
 
 def HAVC_extract_reference_frames(
-    clip: Clip, sc_framedir: str, **detect_kwargs
+    clip: Clip, sc_framedir: str, sc_algo: int = 0, **detect_kwargs
 ) -> list:
-    """Detect scenes + export ref_nnnnnn frames (__init__.py:3241)."""
+    """Detect scenes + export ref_nnnnnn frames (__init__.py:3272-3352).
+
+    ``sc_algo`` (reference ids): 0 = standard luma detector (+SSIM filter),
+    1 = edge-based detector, 2 = SCXvid-role simple detector (mapped to
+    the luma detector at threshold 0.10 — the xvid heuristic's role),
+    3 = MVTools motion-vector SCDetection (scene.motion block-SAD;
+    thresholds derived like the reference: thscd1 ~ sc_threshold*2500,
+    thscd2 ~ sc_tht_ssim*300)."""
     from .io import export_reference_frames
 
-    clip = HAVC_SceneDetect(clip, **detect_kwargs)
+    if sc_algo == 1:
+        edge_kwargs = {
+            "sc_threshold": detect_kwargs.get("sc_threshold", 0.035),
+            "sc_tht_ssim": detect_kwargs.get("sc_tht_ssim", 0.80),
+            "sc_diff_offset": detect_kwargs.get("sc_tht_offset", 2),
+            "sc_min_int": detect_kwargs.get("sc_min_int", 20),
+            "sc_tht_white": detect_kwargs.get("sc_tht_white", 0.70),
+            "sc_tht_black": detect_kwargs.get("sc_tht_black", 0.10),
+        }
+        clip = HAVC_SceneDetectEdges(clip, **edge_kwargs)
+    elif sc_algo == 2:
+        clip = HAVC_SceneDetect(
+            clip, sc_threshold=0.10,
+            sc_min_int=detect_kwargs.get("sc_min_int", 1),
+        )
+    elif sc_algo == 3:
+        from .scene.motion import scene_detect_motion
+
+        tht = detect_kwargs.get("sc_threshold", 0.10)
+        ssim = detect_kwargs.get("sc_tht_ssim", 0.45)
+        flags = scene_detect_motion(
+            np.asarray(clip.frames),
+            bad_sad=min(tht * 2500, 1000) / 4096.0,
+            bad_ratio=min(ssim * 300, 300) / 300.0 * 0.6 + 0.2,
+            min_length=detect_kwargs.get("sc_min_int", 1),
+        )
+        clip = clip.with_sc(flags)
+    else:
+        clip = HAVC_SceneDetect(clip, **detect_kwargs)
     return export_reference_frames(clip, sc_framedir)
 
 
@@ -1034,14 +1070,14 @@ HAVC_main_restore = HAVC_ColorAdjust
 
 def HAVC_SceneDetectEdges(
     clip: Clip,
-    sc_threshold: float = 0.07,
+    sc_threshold: float = 0.035,
     sc_frequency: int = 0,
-    sc_tht_ssim: float = 0.0,
+    sc_tht_ssim: float = 0.80,
     sc_diff_offset: int = 2,
-    sc_min_int: int = 30,
-    sc_mult_tht: int = 7,
+    sc_min_int: int = 20,
+    sc_mult_tht: int = 15,
     sc_tht_white: float = 0.70,
-    sc_tht_black: float = 0.12,
+    sc_tht_black: float = 0.10,
 ) -> Clip:
     """Edge-based scene detection (HAVC_SceneDetectEdges, __init__.py:3219;
     vsscdetect_edge.py:32-260 — draft retinex edge mask, offset-frame diff,

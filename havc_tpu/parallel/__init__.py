@@ -7,3 +7,4 @@ from .mesh import (  # noqa: F401
     sharded_pipeline_step,
     sharded_engine_step,
 )
+from .halo import halo_exchange_rows, spatial_halo_call  # noqa: F401
