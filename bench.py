@@ -146,13 +146,38 @@ def run_child():
     t_compute = max(t_pipeline - t_overhead, 1e-6)
     fps = BATCH * n_iters / t_compute
 
+    extra = {}
+    if on_tpu:
+        # secondary metric (fail-soft): ColorMNet exemplar engine at full
+        # geometry, device-resident steady state
+        try:
+            from havc_tpu.exemplar import ColorMNetEngine, colormnet_propagate
+
+            eng = ColorMNetEngine(config="full", work_size=(224, 448))
+            rng2 = np.random.default_rng(1)
+            T = 16
+            fr = jax.device_put(jnp.asarray(
+                rng2.random((T, 224, 448, 3), dtype=np.float32)))
+            rab = jax.device_put(jnp.asarray(
+                rng2.random((T, 224, 448, 2), dtype=np.float32) * 2 - 1))
+            jax.block_until_ready((fr, rab))
+            is_ref = np.zeros(T, bool)
+            is_ref[0] = True
+            colormnet_propagate(eng, fr, rab, is_ref)  # compile
+            t0 = time.perf_counter()
+            colormnet_propagate(eng, fr, rab, is_ref)
+            dt = time.perf_counter() - t0
+            extra["colormnet_fps_224x448"] = round(T / dt, 2)
+        except Exception as e:  # noqa: BLE001 - secondary metric only
+            extra["colormnet_error"] = f"{type(e).__name__}: {e}"[:160]
+
     note = None
     if not on_tpu:
         note = (
             "TPU backend unavailable; CPU host fallback at reduced model "
             "geometry (not comparable to the 30fps/1080p target)"
         )
-    _emit(fps, backend, note=note)
+    _emit(fps, backend, note=note, extra=extra)
 
 
 def _probe_backend(timeout_s: float = 90.0, attempts: int = 3):

@@ -100,8 +100,8 @@ class ColorMNetEngine:
             self.mem_cfg = MemoryConfig(
                 key_dim=self.key_dim, value_dim=self.value_dim,
                 tokens_per_frame=self.h16 * self.w16,
-                perm_frames=2, work_frames=3, lt_tokens=64, n_proto=8,
-                top_k=8,
+                perm_frames=2, work_frames=3, min_work_frames=1,
+                lt_tokens=64, n_proto=8, top_k=8,
             )
         else:
             self.mem_cfg = MemoryConfig(

@@ -44,8 +44,9 @@ class MemoryConfig(NamedTuple):
     tokens_per_frame: int = 324  # P = (H/16)*(W/16) at working resolution
     perm_frames: int = 8  # reference-frame slots
     work_frames: int = 10  # reference max_mid_term_frames=10
+    min_work_frames: int = 5  # reference min_mid_term_frames=5
     lt_tokens: int = 1280  # long-term token capacity
-    n_proto: int = 128  # prototypes consolidated per eviction
+    n_proto: int = 128  # prototypes per consolidation (reference P=128)
     top_k: int = 30  # reference top-k readout
     mem_every: int = 5
 
@@ -60,20 +61,22 @@ class MemoryState(NamedTuple):
     perm_valid: jnp.ndarray  # (perm_frames*P,) bool
     perm_ptr: jnp.ndarray  # scalar int32: next reference slot
 
-    # working ring (frame granularity)
+    # working store (frame granularity; slots freed by consolidation)
     work_keys: jnp.ndarray  # (work_frames, P, Ck)
     work_shrink: jnp.ndarray  # (work_frames, P)
     work_values: jnp.ndarray  # (O, work_frames, P, Cv)
     work_usage: jnp.ndarray  # (work_frames, P)
     work_valid: jnp.ndarray  # (work_frames,) bool
-    work_ptr: jnp.ndarray  # scalar int32
+    work_t: jnp.ndarray  # (work_frames,) int32 insertion stamp
+    work_ptr: jnp.ndarray  # scalar int32: total inserts so far
 
-    # long-term ring (token granularity)
+    # long-term store (token granularity, usage-LRU overwrite)
     lt_keys: jnp.ndarray  # (lt_tokens, Ck)
     lt_shrink: jnp.ndarray  # (lt_tokens,)
     lt_values: jnp.ndarray  # (O, lt_tokens, Cv)
+    lt_usage: jnp.ndarray  # (lt_tokens,)
     lt_valid: jnp.ndarray  # (lt_tokens,) bool
-    lt_ptr: jnp.ndarray  # scalar int32
+    lt_ptr: jnp.ndarray  # scalar int32 (retained for checkpoint compat)
 
 
 def init_memory(cfg: MemoryConfig, dtype=jnp.float32) -> MemoryState:
@@ -92,10 +95,12 @@ def init_memory(cfg: MemoryConfig, dtype=jnp.float32) -> MemoryState:
         ),
         work_usage=jnp.zeros((cfg.work_frames, cfg.tokens_per_frame), dtype),
         work_valid=jnp.zeros((cfg.work_frames,), bool),
+        work_t=jnp.zeros((cfg.work_frames,), jnp.int32),
         work_ptr=jnp.zeros((), jnp.int32),
         lt_keys=jnp.zeros((cfg.lt_tokens, cfg.key_dim), dtype),
         lt_shrink=jnp.ones((cfg.lt_tokens,), dtype),
         lt_values=jnp.zeros((cfg.num_objects, cfg.lt_tokens, cfg.value_dim), dtype),
+        lt_usage=jnp.zeros((cfg.lt_tokens,), dtype),
         lt_valid=jnp.zeros((cfg.lt_tokens,), bool),
         lt_ptr=jnp.zeros((), jnp.int32),
     )
@@ -128,25 +133,77 @@ def insert_reference(
     return jax.lax.cond(enabled, write, lambda s: s, state)
 
 
-def _consolidate(
-    state: MemoryState, cfg: MemoryConfig, frame_slot: jnp.ndarray
-) -> MemoryState:
-    """Potentiate the evicted working frame's top-usage tokens into the
-    long-term ring (memory_manager.py:153-288 consolidation, static form)."""
-    usage = state.work_usage[frame_slot]  # (P,)
-    n_proto = min(cfg.n_proto, cfg.tokens_per_frame)
-    _, top_idx = jax.lax.top_k(usage, n_proto)
-    keys = state.work_keys[frame_slot][top_idx]
-    shrink = state.work_shrink[frame_slot][top_idx]
-    values = state.work_values[:, frame_slot][:, top_idx]
-    # FIFO write into the long-term ring
-    dst = (state.lt_ptr + jnp.arange(n_proto)) % cfg.lt_tokens
-    return state._replace(
-        lt_keys=state.lt_keys.at[dst].set(keys),
-        lt_shrink=state.lt_shrink.at[dst].set(shrink),
-        lt_values=state.lt_values.at[:, dst].set(values),
-        lt_valid=state.lt_valid.at[dst].set(True),
+def _consolidate(state: MemoryState, cfg: MemoryConfig) -> MemoryState:
+    """Global memory compression (memory_manager.compress_features +
+    consolidation, memory_manager.py:214-288, static-shape form).
+
+    Candidates = every working frame older than ``min_work_frames`` inserts
+    EXCEPT the very first one (the reference's ``[HW:-min_work_elements]``
+    slice protects the first frame permanently).  The ``n_proto``
+    highest-usage candidate tokens become prototype keys; their VALUES are
+    POTENTIATED — re-read from all candidates by softmax attention — not
+    copied.  Prototypes overwrite the lowest-usage long-term slots
+    (remove_obsolete_features LRU semantics)."""
+    from .colormnet import get_similarity
+
+    wf, P = cfg.work_frames, cfg.tokens_per_frame
+    n = wf * P
+    n_proto = min(cfg.n_proto, n)
+
+    age_ok = state.work_t <= state.work_ptr - cfg.min_work_frames
+    cand_frame = state.work_valid & age_ok & (state.work_t != 0)
+    cand_tok = jnp.repeat(cand_frame, P)  # (wf*P,)
+
+    keys = state.work_keys.reshape(n, -1)
+    shrink = state.work_shrink.reshape(n)
+    values = state.work_values.reshape(cfg.num_objects, n, -1)
+    usage = state.work_usage.reshape(n)
+
+    u_masked = jnp.where(cand_tok, usage, -jnp.inf)
+    _, proto_idx = jax.lax.top_k(u_masked, n_proto)
+    proto_valid = jnp.take(u_masked, proto_idx) > -jnp.inf
+    proto_keys = keys[proto_idx]
+
+    # potentiation: affinity of all candidates onto each prototype
+    sim = get_similarity(keys, shrink, proto_keys, None)  # (n, n_proto)
+    sim = jnp.where(cand_tok[:, None], sim, -1e30)
+    m = jnp.max(sim, axis=0, keepdims=True)
+    e = jnp.exp(sim - m)
+    aff = e / jnp.maximum(e.sum(axis=0, keepdims=True), 1e-30)  # (n, n_proto)
+    proto_values = jnp.einsum("np,onc->opc", aff, values)
+    proto_shrink = aff.T @ shrink
+
+    # long-term targets: lowest usage (invalid slots first)
+    pri = jnp.where(state.lt_valid, state.lt_usage, -jnp.inf)
+    _, dst = jax.lax.top_k(-pri, n_proto)
+
+    def put(old, new_vals, axis0=False):
+        if axis0:
+            cur = old[:, dst]
+            sel = jnp.where(proto_valid[None, :, None], new_vals, cur)
+            return old.at[:, dst].set(sel)
+        cur = old[dst]
+        shape = (len(proto_valid),) + (1,) * (new_vals.ndim - 1)
+        sel = jnp.where(proto_valid.reshape(shape), new_vals, cur)
+        return old.at[dst].set(sel)
+
+    new_lt_valid = state.lt_valid.at[dst].set(
+        jnp.where(proto_valid, True, state.lt_valid[dst])
+    )
+    state = state._replace(
+        lt_keys=put(state.lt_keys, proto_keys),
+        lt_shrink=put(state.lt_shrink, proto_shrink),
+        lt_values=put(state.lt_values, proto_values, axis0=True),
+        lt_usage=state.lt_usage.at[dst].set(
+            jnp.where(proto_valid, 0.0, state.lt_usage[dst])
+        ),
+        lt_valid=new_lt_valid,
         lt_ptr=state.lt_ptr + n_proto,
+    )
+    # sieve: consolidated frames leave the working store
+    return state._replace(
+        work_valid=state.work_valid & ~cand_frame,
+        work_usage=jnp.where(cand_frame[:, None], 0.0, state.work_usage),
     )
 
 
@@ -156,25 +213,34 @@ def insert_working(
     keys: jnp.ndarray,  # (P, Ck)
     shrink: jnp.ndarray,  # (P,)
     values: jnp.ndarray,  # (O, P, Cv)
-    enabled: jnp.ndarray,  # scalar bool (frame_idx % mem_every == 0)
+    enabled: jnp.ndarray,  # scalar bool (memory-frame cadence)
 ) -> MemoryState:
-    """Insert the current frame into the working ring; when overwriting a
-    live slot, consolidate it into long-term memory first."""
-    slot = state.work_ptr % cfg.work_frames
+    """Insert the current frame into the working store; when it is full
+    (reference: work size >= max_mid_term_frames), consolidate the old
+    frames into long-term memory first (memory_manager.add_memory)."""
 
     def write(s: MemoryState) -> MemoryState:
         s = jax.lax.cond(
-            s.work_valid[slot],
-            lambda st: _consolidate(st, cfg, slot),
+            s.work_valid.all(),
+            lambda st: _consolidate(st, cfg),
             lambda st: st,
             s,
         )
+        # write into the first free slot; the permanently-protected first
+        # frame (work_t == 0) is never recycled
+        free = ~s.work_valid
+        pri = jnp.where(
+            free, jnp.int32(-1),
+            jnp.where(s.work_t == 0, jnp.iinfo(jnp.int32).max, s.work_t),
+        )
+        slot = jnp.argmin(pri)
         return s._replace(
             work_keys=s.work_keys.at[slot].set(keys),
             work_shrink=s.work_shrink.at[slot].set(shrink),
             work_values=s.work_values.at[:, slot].set(values),
             work_usage=s.work_usage.at[slot].set(0.0),
             work_valid=s.work_valid.at[slot].set(True),
+            work_t=s.work_t.at[slot].set(s.work_ptr),
             work_ptr=s.work_ptr + 1,
         )
 
@@ -213,12 +279,14 @@ def read_memory(
     sim = get_similarity(mk, ms, qk, qe)  # (N, P)
     affinity, usage = topk_softmax(sim, cfg.top_k, valid)
     out = jnp.stack([readout(affinity, mv[o]) for o in range(cfg.num_objects)])
-    # accumulate usage back into working slots (reference tracks usage for
-    # consolidation ranking)
+    # accumulate usage for working (consolidation ranking) AND long-term
+    # (LRU eviction ranking) slots — memory_manager update_usage semantics
     n_perm = state.perm_valid.shape[0]
     work_usage_delta = usage[n_perm : n_perm + wf * p].reshape(wf, p)
+    lt_usage_delta = usage[n_perm + wf * p :]
     state = state._replace(
         work_usage=state.work_usage
-        + work_usage_delta.astype(state.work_usage.dtype)
+        + work_usage_delta.astype(state.work_usage.dtype),
+        lt_usage=state.lt_usage + lt_usage_delta.astype(state.lt_usage.dtype),
     )
     return out.astype(state.work_values.dtype), state

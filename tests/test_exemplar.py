@@ -16,7 +16,8 @@ from havc_tpu.models.colormnet import get_similarity, topk_softmax, readout
 def mem_cfg():
     return mem.MemoryConfig(
         key_dim=4, value_dim=8, tokens_per_frame=6,
-        perm_frames=2, work_frames=3, lt_tokens=16, n_proto=4, top_k=4,
+        perm_frames=2, work_frames=3, min_work_frames=1, lt_tokens=16,
+        n_proto=4, top_k=4,
     )
 
 
@@ -263,3 +264,77 @@ class TestRemasterSlidingWindow:
         for w in seen:
             assert len(w) == 4
             np.testing.assert_allclose(np.diff(w), 0.1, atol=1e-6)
+
+
+class TestConsolidationSemantics:
+    """Reference compress_features/consolidation parity
+    (memory_manager.py:214-288)."""
+
+    def _cfg(self):
+        return mem.MemoryConfig(
+            key_dim=4, value_dim=8, tokens_per_frame=4,
+            perm_frames=1, work_frames=4, min_work_frames=1, lt_tokens=8,
+            n_proto=3, top_k=4,
+        )
+
+    def _fill(self, cfg, n_frames, seed=0):
+        rng = np.random.default_rng(seed)
+        state = mem.init_memory(cfg)
+        frames = []
+        for i in range(n_frames):
+            k = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+            v = jnp.asarray(rng.normal(size=(2, 4, 8)).astype(np.float32))
+            frames.append((k, v))
+            state = mem.insert_working(
+                state, cfg, k, jnp.ones((4,)), v, jnp.asarray(True)
+            )
+        return state, frames
+
+    def test_first_frame_protected(self):
+        cfg = self._cfg()
+        state, frames = self._fill(cfg, 7)
+        # the first-inserted frame (work_t == 0) must still be resident
+        wt = np.asarray(state.work_t)
+        wv = np.asarray(state.work_valid)
+        assert ((wt == 0) & wv).any(), "first frame was consolidated away"
+        k0 = np.asarray(frames[0][0])
+        kept = np.asarray(state.work_keys)[np.argmax((wt == 0) & wv)]
+        np.testing.assert_allclose(kept, k0, atol=1e-6)
+
+    def test_prototype_values_are_potentiated(self):
+        """Prototype values must be attention blends over candidates, not
+        copies (the potentiation step)."""
+        cfg = self._cfg()
+        state, frames = self._fill(cfg, 5)
+        lt_v = np.asarray(state.lt_values)
+        lt_valid = np.asarray(state.lt_valid)
+        assert lt_valid.sum() >= cfg.n_proto
+        # potentiated values are convex-ish blends: they should not exactly
+        # equal any single inserted token's value
+        inserted = np.concatenate(
+            [np.asarray(v).reshape(2, 4, 8) for _, v in frames], axis=1
+        )  # (2, 20, 8)
+        for slot in np.nonzero(lt_valid)[0][: cfg.n_proto]:
+            diffs = np.abs(
+                inserted - lt_v[:, slot][:, None, :]
+            ).max(axis=(0, 2))
+            assert diffs.min() > 1e-5  # a blend, not a copy
+
+    def test_lt_overwrites_lowest_usage(self):
+        cfg = self._cfg()
+        state, _ = self._fill(cfg, 5)  # one consolidation -> 3 lt protos
+        # bump usage on some lt slots by reading with their own keys
+        rng = np.random.default_rng(9)
+        qk = jnp.asarray(np.asarray(state.lt_keys)[:4])
+        _, state = mem.read_memory(state, cfg, qk, None)
+        used = np.asarray(state.lt_usage).copy()
+        # force more consolidations
+        for i in range(6):
+            k = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+            v = jnp.asarray(rng.normal(size=(2, 4, 8)).astype(np.float32))
+            state = mem.insert_working(
+                state, cfg, k, jnp.ones((4,)), v, jnp.asarray(True)
+            )
+        # the highest-usage lt slot should have survived longer than the
+        # zero-usage ones: its usage was reset only if overwritten
+        assert np.asarray(state.lt_valid).sum() > 0
