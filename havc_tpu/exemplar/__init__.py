@@ -641,7 +641,8 @@ def _prepare_work(clip: Clip, speed: str, batch: int = 8):
     """Aspect-preserving SmartResize: pad to the model aspect with borders
     then spline64 to the working size (vsresize.py:294-315) — round-1
     stretched instead, distorting the correspondence geometry the exemplar
-    models match on."""
+    models match on.  Returns a DEVICE array (the engine stages consume it
+    without another host round-trip)."""
     from ..ops.resize import smart_resize_pad
 
     h, w = smart_resize_shape(clip.width, clip.height, speed)
@@ -652,7 +653,7 @@ def _prepare_work(clip: Clip, speed: str, batch: int = 8):
     _, meta = smart_resize_pad(
         jnp.zeros((1, clip.height, clip.width, 3), jnp.float32), h, w
     )
-    work = np.asarray(fn(jnp.asarray(np.asarray(clip.frames))))
+    work = fn(jnp.asarray(np.asarray(clip.frames)))
     return work, (h, w), meta
 
 
@@ -799,12 +800,10 @@ def HAVC_deepex(
     work_frames, (wh, ww), pad_meta = _prepare_work(clip, render_speed)
     from ..ops.resize import smart_resize_pad
 
-    work_refs = np.asarray(
-        cached_jit(
-            ("smart_resize_pad", wh, ww, clip.height, clip.width),
-            lambda: lambda x: smart_resize_pad(x, wh, ww, "spline64")[0],
-        )(jnp.asarray(ref_frames))
-    )
+    work_refs = cached_jit(
+        ("smart_resize_pad", wh, ww, clip.height, clip.width),
+        lambda: lambda x: smart_resize_pad(x, wh, ww, "spline64")[0],
+    )(jnp.asarray(ref_frames))
 
     # "same as video" methods propagate the video's own (colorized) frames;
     # "different" methods insert the exemplar image's own key/value
@@ -814,15 +813,26 @@ def HAVC_deepex(
 
     def _run_colormnet():
         engine = _get_engine("colormnet", config=engine_config, work_size=(wh, ww))
-        ref_lab = np.asarray(rgb_to_lab(jnp.asarray(work_refs)))
-        ref_ab = np.clip(ref_lab[..., 1:3] / 110.0, -1.0, 1.0)
+        # device-resident: LAB split/join stays on chip, only the final
+        # colorized frames hop back to host
+        prep = cached_jit(
+            ("cm_ref_ab", wh, ww),
+            lambda: lambda x: jnp.clip(rgb_to_lab(x)[..., 1:3] / 110.0, -1.0, 1.0),
+        )
+        ref_ab = prep(work_refs)
         ab = colormnet_propagate(
             engine, work_frames, ref_ab, is_ref, ref_frames=work_refs,
             frame_propagate=frame_propagate, vivid=vivid,
         )
-        lab_l = np.asarray(rgb_to_lab(jnp.asarray(work_frames)))[..., 0:1]
-        lab_out = np.concatenate([lab_l, ab * 110.0], axis=-1)
-        return np.asarray(jnp.clip(lab_to_rgb(jnp.asarray(lab_out)), 0.0, 1.0))
+        join = cached_jit(
+            ("cm_join", wh, ww),
+            lambda: lambda frames, ab_: jnp.clip(
+                lab_to_rgb(jnp.concatenate(
+                    [rgb_to_lab(frames)[..., 0:1], ab_ * 110.0], axis=-1
+                )), 0.0, 1.0,
+            ),
+        )
+        return np.asarray(join(work_frames, jnp.asarray(ab)))
 
     def _run_deepex():
         engine = _get_engine("deepex", speed=render_speed)
@@ -855,7 +865,8 @@ def HAVC_deepex(
         # (remaster_render.ref_buffer_adjust)
         ref_pos = np.nonzero(is_ref)[0]
         colored_small = remaster_propagate(
-            engine, work_frames, work_refs[is_ref], ref_positions=ref_pos,
+            engine, np.asarray(work_frames),
+            np.asarray(work_refs)[is_ref], ref_positions=ref_pos,
         )
         if vivid:
             fn = cached_jit(
@@ -871,7 +882,7 @@ def HAVC_deepex(
     # ref-merge: non-scenechange frames blended with the HAVC reference at
     # ref_weight (vs_colormnet ref-merge variant, colormnet/__init__.py:48)
     if ref_weight < 1.0:
-        blend = work_refs * (1 - ref_weight) + colored_small * ref_weight
+        blend = np.asarray(work_refs) * (1 - ref_weight) + colored_small * ref_weight
         colored_small = np.where(
             is_ref[:, None, None, None], colored_small, blend
         )
@@ -974,5 +985,5 @@ def HAVC_DeepRemaster(
         smart_resize_pad(jnp.asarray(refs), wh, ww, "spline64")[0]
     )
     engine = _get_engine("remaster")
-    colored_small = remaster_propagate(engine, work_frames, work_refs)
+    colored_small = remaster_propagate(engine, np.asarray(work_frames), work_refs)
     return _restore_full(clip, colored_small, pad_meta)
