@@ -446,79 +446,79 @@ def deepex_propagate(
     wls_filter: bool = True,
     frame_propagate: bool = True,
     vivid: bool = False,
+    batch_size: int = 4,
 ) -> np.ndarray:
-    """Reference-conditioned propagation (deepex/__init__.py:46-263).
+    """Reference-conditioned colorization (deepex/__init__.py:46-263).
 
-    Faithful to the reference driver:
-    * VGG features of the scene's reference are cached per scene (lax.scan
-      carry, refreshed on ``is_ref``).
-    * ``I_last_lab_predict`` is pinned per scene — the reference's per-frame
-      recurrence update is commented out (deepex/__init__.py:176): it stays
-      the reference LAB (``frame_propagate``) or centered zeros.
-    * warp temperature is 1e-10 (driver call, deepex/__init__.py:172) —
-      effectively hard argmax correspondence.
-    * ``vivid`` multiplies the predicted ab by 1.25 (deepex/__init__.py:185)
-      BEFORE the WLS smoothing.
+    Faithful to the reference driver — and BATCHED: the driver PINS
+    ``I_last_lab_predict`` per scene (the per-frame update is commented out,
+    deepex/__init__.py:176) and caches the reference's features per scene,
+    so every frame of a scene is independent.  Instead of a sequential
+    scan, the reference side (VGG + WarpNet encode) is computed once per
+    scene and the scene's frames run in MXU-friendly batches.
+
+    * warp temperature 1e-10 (driver call, deepex/__init__.py:172).
+    * ``I_last_lab_predict`` = scene reference LAB (``frame_propagate``) or
+      centered zeros == raw LAB (50,0,0).
+    * ``vivid`` multiplies predicted ab by 1.25 before WLS smoothing.
     """
     from ..models import deepex as dx
 
-    lab_frames = np.asarray(rgb_to_lab(jnp.asarray(frames)))
-    lab_refs = np.asarray(rgb_to_lab(jnp.asarray(refs)))
+    T = len(frames)
+    to_lab = cached_jit(
+        ("deepex_lab", engine.h, engine.w),
+        lambda: rgb_to_lab,
+    )
+    lab_frames = to_lab(jnp.asarray(frames))
+    lab_refs = to_lab(jnp.asarray(refs))
 
-    def step(params, carry, inputs):
-        p_vgg, p_warp, p_color = params
-        feats_b, ref_lab, last_lab = carry
-        a_lab, r_lab, ref_flag = inputs
+    enc_ref = cached_jit(
+        ("deepex_encref", engine.h, engine.w),
+        lambda: lambda p_vgg, p_warp, ib_lab: dx.encode_reference(
+            p_vgg, p_warp, ib_lab, engine.vgg, engine.warp
+        ),
+    )
+    step = cached_jit(
+        ("deepex_step", engine.h, engine.w, batch_size),
+        lambda: lambda params, a_lab, ib_lab, last_lab, b_feat:
+            dx.frame_colorization_batched(
+                params[0], params[1], params[2], a_lab, ib_lab, last_lab,
+                b_feat, engine.vgg, engine.warp, engine.color,
+                temperature=1e-10,
+            ),
+    )
+    params = (engine.p_vgg, engine.p_warp, engine.p_color)
 
-        # refresh cached reference features on scene change
-        def refresh(_):
-            rgb = lab_to_rgb(r_lab[None])
-            new_feats = engine.vgg.apply(p_vgg, rgb)
-            return new_feats, r_lab[None]
+    starts = list(np.nonzero(np.asarray(is_ref, bool))[0])
+    if not starts or starts[0] != 0:
+        starts = [0] + starts
+    bounds = starts + [T]
 
-        feats_b, ref_lab = jax.lax.cond(
-            ref_flag, refresh, lambda _: (feats_b, ref_lab), None
-        )
+    ab_out = [None] * T
+    for si in range(len(starts)):
+        s0, s1 = bounds[si], bounds[si + 1]
+        if s1 <= s0:
+            continue
+        ib_lab = lab_refs[s0:s0 + 1]
+        b_feat = enc_ref(params[0], params[1], ib_lab)
         if frame_propagate:
-            # last prediction <- reference frame at scene start
-            last_new = r_lab[None]
+            last_lab = ib_lab
         else:
-            # torch.zeros_like in CENTERED lab == raw LAB (50, 0, 0)
-            last_new = jnp.zeros_like(r_lab)[None].at[..., 0].set(50.0)
-        last_lab = jnp.where(ref_flag, last_new, last_lab)
+            last_lab = jnp.zeros_like(ib_lab).at[..., 0].set(50.0)
+        for c0 in range(s0, s1, batch_size):
+            c1 = min(c0 + batch_size, s1)
+            chunk = lab_frames[c0:c1]
+            n = c1 - c0
+            if n < batch_size:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], batch_size - n, 0)]
+                )
+            ab = step(params, chunk, ib_lab, last_lab, b_feat)[:n]
+            for k in range(n):
+                ab_out[c0 + k] = ab[k]
+    ab_seq = jnp.stack(ab_out)
+    lab_seq = jnp.concatenate([lab_frames[..., 0:1], ab_seq], axis=-1)
 
-        ab, warped, _ = dx.frame_colorization(
-            p_vgg, p_warp, p_color,
-            a_lab[None], ref_lab, last_lab, feats_b,
-            engine.vgg, engine.warp, engine.color,
-            temperature=1e-10,
-        )
-        pred_lab = jnp.concatenate([a_lab[None][..., 0:1], ab], axis=-1)
-        # reference keeps I_last_lab_predict fixed per scene — carry
-        # last_lab unchanged
-        return (feats_b, ref_lab, last_lab), pred_lab[0]
-
-    zeros_lab = jnp.zeros((1,) + lab_frames.shape[1:], jnp.float32)
-    feats0 = engine.vgg.apply(
-        engine.p_vgg, lab_to_rgb(jnp.asarray(lab_refs[0:1]))
-    )
-    init = (feats0, jnp.asarray(lab_refs[0:1]), zeros_lab)
-
-    scan_fn = cached_jit(
-        ("deepex_scan", engine.h, engine.w, frame_propagate),
-        lambda: lambda params, init, xs: jax.lax.scan(
-            lambda c, x: step(params, c, x), init, xs
-        ),
-    )
-    _, lab_seq = scan_fn(
-        (engine.p_vgg, engine.p_warp, engine.p_color),
-        init,
-        (
-            jnp.asarray(lab_frames),
-            jnp.asarray(lab_refs),
-            jnp.asarray(is_ref.astype(bool)),
-        ),
-    )
     if vivid:
         # +25% saturation = ab * 1.25 (deepex/__init__.py:185)
         lab_seq = jnp.concatenate(

@@ -40,6 +40,8 @@ __all__ = [
     "WarpNet",
     "ColorVidNet",
     "frame_colorization",
+    "frame_colorization_batched",
+    "encode_reference",
     "get_deepex_size",
     "guided_filter_ab",
     "init_deepex_params",
@@ -148,82 +150,92 @@ class WarpNet(nn.Module):
     Inputs are the VGG relu2_1..relu5_1 features of current (A) and
     reference (B) frames, channel-normalized; output is the warped LAB map
     at full resolution plus the similarity (confidence) map.
+
+    Structured as setup + methods so the reference side can be encoded
+    ONCE per scene (``encode``) and correlated against many frames
+    (``correlate``) — the torch driver recomputes it per frame.
     """
 
     feature_channel: int = 64
     inter_channels: int = 256
 
-    @nn.compact
-    def __call__(self, b_lab, a_feats, b_feats, temperature: float = 0.001 * 5):
+    def setup(self):
         fc = self.feature_channel
+        self.l2a = _PadConvINPReLU(128, 1)
+        self.l2b = _PadConvINPReLU(fc, 2)
+        self.l3a = _PadConvINPReLU(128, 1)
+        self.l3b = _PadConvINPReLU(fc, 1)
+        self.l4a = _PadConvINPReLU(256, 1)
+        self.l4b = _PadConvINPReLU(fc, 1)
+        self.l5a = _PadConvINPReLU(256, 1)
+        self.l5b = _PadConvINPReLU(fc, 1)
+        self.res1 = _ResidualBlock(fc * 4)
+        self.res2 = _ResidualBlock(fc * 4)
+        self.res3 = _ResidualBlock(fc * 4)
+        self.theta = PtConv(self.inter_channels, 1, 1, 0)
+        self.phi = PtConv(self.inter_channels, 1, 1, 0)
 
-        # torch shares layer2_1..layer5_1 between A and B: instantiate each
-        # submodule once and apply it to both feature pyramids
-        l2a = _PadConvINPReLU(128, 1, name="l2a")
-        l2b = _PadConvINPReLU(fc, 2, name="l2b")
-        l3a = _PadConvINPReLU(128, 1, name="l3a")
-        l3b = _PadConvINPReLU(fc, 1, name="l3b")
-        l4a = _PadConvINPReLU(256, 1, name="l4a")
-        l4b = _PadConvINPReLU(fc, 1, name="l4b")
-        l5a = _PadConvINPReLU(256, 1, name="l5a")
-        l5b = _PadConvINPReLU(fc, 1, name="l5b")
+    @staticmethod
+    def _up2(t):
+        return jax.image.resize(
+            t, t.shape[:1] + (t.shape[1] * 2, t.shape[2] * 2) + t.shape[3:],
+            "nearest",
+        )
 
-        def up2(t):
-            return jax.image.resize(
-                t, t.shape[:1] + (t.shape[1] * 2, t.shape[2] * 2) + t.shape[3:],
-                "nearest",
+    def encode(self, feats):
+        """Normalized VGG pyramid (r22..r52) -> fused H/4 feature map."""
+        f2, f3, f4, f5 = feats[1:] if len(feats) == 5 else feats
+        up2 = self._up2
+        x2 = self.l2b(self.l2a(f2))
+        x3 = self.l3b(self.l3a(f3))
+        x4 = up2(self.l4b(self.l4a(f4)))
+        x5 = up2(self.l5b(up2(self.l5a(f5))))
+        # pad x5 to x2's spatial dims if off by the odd-size rule
+        if x5.shape[1] != x2.shape[1] or x5.shape[2] != x2.shape[2]:
+            dh = x2.shape[1] - x5.shape[1]
+            dw = x2.shape[2] - x5.shape[2]
+            x5 = jnp.pad(
+                x5,
+                ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
+                mode="edge",
             )
+        cat = jnp.concatenate([x2, x3, x4, x5], axis=-1)
+        return self.res3(self.res2(self.res1(cat)))
 
-        def scale_features(f2, f3, f4, f5):
-            # 2_1: stride 2 (H/4), 3_1: same (H/4), 4_1: up 2x, 5_1: up 4x
-            x2 = l2b(l2a(f2))
-            x3 = l3b(l3a(f3))
-            x4 = up2(l4b(l4a(f4)))
-            x5 = up2(l5b(up2(l5a(f5))))
-            # pad x5 to x2's spatial dims if off by the odd-size rule
-            if x5.shape[1] != x2.shape[1] or x5.shape[2] != x2.shape[2]:
-                dh = x2.shape[1] - x5.shape[1]
-                dw = x2.shape[2] - x5.shape[2]
-                x5 = jnp.pad(
-                    x5,
-                    ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
-                    mode="edge",
-                )
-            return jnp.concatenate([x2, x3, x4, x5], axis=-1)
-
-        a_cat = scale_features(*a_feats[1:])
-        b_cat = scale_features(*b_feats[1:])
-
-        res = nn.Sequential([
-            _ResidualBlock(fc * 4, name="res1"),
-            _ResidualBlock(fc * 4, name="res2"),
-            _ResidualBlock(fc * 4, name="res3"),
-        ])
-        a_feat = res(a_cat)
-        b_feat = res(b_cat)
-
-        theta = PtConv(self.inter_channels, 1, 1, 0, name="theta")(a_feat)
-        phi = PtConv(self.inter_channels, 1, 1, 0, name="phi")(b_feat)
+    def correlate(self, b_lab, a_feat, b_feat, temperature: float = 0.001 * 5):
+        """Centered-cosine correspondence + warp.  ``b_lab``/``b_feat`` may
+        have batch 1 while ``a_feat`` is (B, ...) — the reference tokens
+        broadcast across the frame batch."""
+        theta = self.theta(a_feat)
+        phi = self.phi(b_feat)
 
         b_sz, fh, fw, c = theta.shape
         theta = theta.reshape(b_sz, fh * fw, c)
-        phi = phi.reshape(b_sz, -1, c)
+        phi = phi.reshape(phi.shape[0], -1, c)
         # center + L2 normalize along the token axis (torch centers over
         # spatial positions per channel)
         theta = theta - theta.mean(axis=1, keepdims=True)
         phi = phi - phi.mean(axis=1, keepdims=True)
         theta = theta / (jnp.linalg.norm(theta, axis=-1, keepdims=True) + 1e-10)
         phi = phi / (jnp.linalg.norm(phi, axis=-1, keepdims=True) + 1e-10)
+        if phi.shape[0] == 1 and b_sz > 1:
+            phi_b = jnp.broadcast_to(phi, (b_sz,) + phi.shape[1:])
+        else:
+            phi_b = phi
 
         f = jnp.einsum(
-            "bnc,bmc->bnm", theta, phi, preferred_element_type=jnp.float32
+            "bnc,bmc->bnm", theta, phi_b, preferred_element_type=jnp.float32
         )
         similarity = jnp.max(f, axis=-1).reshape(b_sz, fh, fw, 1).astype(b_lab.dtype)
         attn = jax.nn.softmax(f / temperature, axis=-1).astype(b_lab.dtype)
 
         # downsample reference color x4 (avg pool) and warp
         b_small = nn.avg_pool(b_lab, (4, 4), strides=(4, 4))
-        b_tokens = b_small.reshape(b_sz, -1, b_lab.shape[-1])
+        b_tokens = b_small.reshape(b_lab.shape[0], -1, b_lab.shape[-1])
+        if b_tokens.shape[0] == 1 and b_sz > 1:
+            b_tokens = jnp.broadcast_to(
+                b_tokens, (b_sz,) + b_tokens.shape[1:]
+            )
         warped = jnp.einsum(
             "bnm,bmc->bnc", attn, b_tokens, preferred_element_type=jnp.float32
         ).astype(b_lab.dtype)
@@ -234,6 +246,11 @@ class WarpNet(nn.Module):
             t, (b_sz, fh * 4, fw * 4, t.shape[-1]), "nearest"
         )
         return up(warped), up(similarity)
+
+    def __call__(self, b_lab, a_feats, b_feats, temperature: float = 0.001 * 5):
+        a_feat = self.encode(a_feats)
+        b_feat = self.encode(b_feats)
+        return self.correlate(b_lab, a_feat, b_feat, temperature)
 
 
 def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -364,6 +381,63 @@ def frame_colorization(
     )
     ab = colornet.apply(color_params, color_input)
     return ab, warped_lab_c + center, feats_a
+
+
+def encode_reference(vgg_params, warp_params, ib_lab, vggnet, warpnet):
+    """Per-scene reference precompute: VGG pyramid + WarpNet-encoded H/4
+    feature of the reference image (the torch driver recomputes the
+    WarpNet ref path per frame; once per scene here)."""
+    ib_l = ib_lab[..., 0:1]
+    ib_ab = ib_lab[..., 1:3]
+    rgb = _ref_lab_to_rgb(ib_l, ib_ab)
+    feats_b = vggnet.apply(vgg_params, rgb)
+    b_norm = tuple(_feature_normalize(f) for f in feats_b)
+    b_feat = warpnet.apply(warp_params, b_norm, method="encode")
+    return b_feat
+
+
+def _ref_lab_to_rgb(l_chan, ab):
+    from ..ops.colorspace import lab_to_rgb
+
+    return jnp.clip(
+        lab_to_rgb(jnp.concatenate([l_chan, ab], axis=-1)), 0.0, 1.0
+    )
+
+
+def frame_colorization_batched(
+    vgg_params,
+    warp_params,
+    color_params,
+    ia_lab: jnp.ndarray,  # (B, H, W, 3) current frames, raw LAB
+    ib_lab: jnp.ndarray,  # (1, H, W, 3) scene reference, raw LAB
+    ia_last_lab: jnp.ndarray,  # (1, H, W, 3) pinned last-prediction, raw LAB
+    b_feat: jnp.ndarray,  # (1, h/4, w/4, 256) encode_reference output
+    vggnet: VGG19Features,
+    warpnet: WarpNet,
+    colornet: ColorVidNet,
+    temperature: float = 1e-10,
+):
+    """Batched frame_colorization: since the reference driver PINS
+    I_last_lab_predict per scene (deepex/__init__.py:176 commented-out
+    update), every frame of a scene is independent — the whole scene
+    batches onto the MXU instead of a per-frame scan."""
+    b = ia_lab.shape[0]
+    ia_l = ia_lab[..., 0:1]
+    ia_rgb = jnp.repeat(ia_l / 100.0, 3, axis=-1)
+    feats_a = vggnet.apply(vgg_params, ia_rgb)
+    a_norm = tuple(_feature_normalize(f) for f in feats_a)
+    a_feat = warpnet.apply(warp_params, a_norm, method="encode")
+    center = jnp.asarray([50.0, 0.0, 0.0], ia_lab.dtype)
+    warped_c, similarity = warpnet.apply(
+        warp_params, ib_lab - center, a_feat, b_feat, temperature,
+        method="correlate",
+    )
+    last_c = jnp.broadcast_to(ia_last_lab - center, ia_lab.shape)
+    color_input = jnp.concatenate(
+        [ia_l - 50.0, warped_c[..., 1:3], similarity, last_c], axis=-1,
+    )
+    ab = colornet.apply(color_params, color_input)
+    return ab
 
 
 def guided_filter_ab(
