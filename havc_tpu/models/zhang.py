@@ -164,7 +164,10 @@ def colorize(
     h, w = rgb.shape[-3], rgb.shape[-2]
     lab = rgb_to_lab(rgb)
     l_orig = lab[..., 0:1]
-    l_rs = resize(l_orig, input_size, input_size, "bilinear")
+    # the reference resizes the RGB image FIRST (PIL bicubic) and takes the
+    # LAB of the result (colorizers/util.py preprocess_img:25-33)
+    rgb_rs = jnp.clip(resize(rgb, input_size, input_size, "bicubic"), 0.0, 1.0)
+    l_rs = rgb_to_lab(rgb_rs)[..., 0:1]
     ab = model.apply(params, l_rs)
     ab_up = resize(ab, h, w, "bilinear")
     out = lab_to_rgb(jnp.concatenate([l_orig, ab_up], axis=-1))
