@@ -999,25 +999,34 @@ def HAVC_clip_overlay(
 def HAVC_colorizer_fast(
     clip: Clip,
     sc_min_freq: int = 10,
-    ex_model: int = 0,
+    ex_model: Optional[int] = None,
     render_speed: str = "medium",
     engine_config: str = "micro",
+    chroma_adjust: str = "none",
     batch_size: int = 8,
     **colorizer_kwargs,
 ) -> Clip:
     """Fast colorizer (HAVC_colorizer_fast + vs_frame_interpolation,
     __init__.py:2138-2288): colorize only every Nth frame with the classic
     engines, then interpolate the colors of in-between frames with an
-    exemplar propagator."""
+    exemplar propagator.
+
+    Engine selection follows vs_frame_interpolation: interp < 5 uses
+    Deep-Exemplar, >= 5 uses ColorMNet with refs every ``2 * interp``
+    frames; both run render_vivid=True (__init__.py:2138-2157)."""
     from .exemplar import HAVC_deepex
 
+    if ex_model is None:
+        ex_model = 1 if sc_min_freq < 5 else 0
+    ref_freq = sc_min_freq if sc_min_freq < 5 else sc_min_freq * 2
     ref = HAVC_colorizer(
-        clip, sc_threshold=0.10, sc_min_freq=sc_min_freq,
+        clip, sc_threshold=0.10, sc_min_freq=ref_freq,
         batch_size=batch_size, **colorizer_kwargs,
     )
     return HAVC_deepex(
         clip, ref, ex_model=ex_model, render_speed=render_speed,
-        engine_config=engine_config, batch_size=batch_size,
+        engine_config=engine_config, vivid=True, colormap=chroma_adjust,
+        batch_size=batch_size,
     )
 
 
