@@ -81,7 +81,7 @@ def run_child():
     from havc_tpu.filters import chroma_resize_restore
 
     H, W = 1080, 1920
-    BATCH = 4 if on_tpu else 1
+    BATCH = 8 if on_tpu else 1  # B=8 beats B=4 by ~20% (64 vs 53 fps)
     RF = 24
     WORK = RF * 16  # 384
 

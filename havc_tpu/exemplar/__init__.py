@@ -589,29 +589,59 @@ def remaster_propagate(
     R = ref_frames.shape[0]
     S = min(ref_buffer_size, R)
 
+    enc = cached_jit(
+        ("remaster_enc", H, W, S),
+        lambda: lambda p, r: engine.model.apply(p, r, method="encode_refs"),
+    )
+    GROUP = 4  # windows batched per dispatch when they share a ref window
     fwd = cached_jit(
-        ("remaster_fwd", H, W, length, S),
-        lambda: lambda p, l, r: engine.model.apply(p, l, r),
+        ("remaster_fwd", H, W, length, S, GROUP),
+        lambda: lambda p, l, rf, rf2: engine.model.apply(
+            p, l, rf, rf2, method="colorize_with_refs"
+        ),
     )
 
     half_idx = max(round(S * (1.0 - future_frame_weight)) - 1, 0)
-    win_start = 0
+
+    # window start per forward position (host-side; mirrors
+    # ref_buffer_adjust's one-slot advance)
+    win_starts = []
+    ws = 0
+    for st in range(0, T, length):
+        if ref_positions is not None:
+            while (ws + S < R) and (st > ref_positions[ws + half_idx]):
+                ws += 1
+        win_starts.append(ws)
 
     outs = []
-    for s in range(0, T, length):
-        if ref_positions is not None:
-            # slide while the current frame has passed the split ref
-            while (win_start + S < R) and (
-                s > ref_positions[win_start + half_idx]
-            ):
-                win_start += 1
-        refs = jnp.asarray(ref_frames[win_start : win_start + S])[None]
-        chunk = l01[s : s + length]
-        n = chunk.shape[0]
-        if n < length:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], length - n, 0)])
-        ab01 = np.asarray(fwd(engine.params, jnp.asarray(chunk[None]), refs))[0][:n]
-        outs.append(ab01)
+    i = 0
+    starts = list(range(0, T, length))
+    ref_cache = {}
+    while i < len(starts):
+        ws = win_starts[i]
+        j = i
+        while j < len(starts) and win_starts[j] == ws and j - i < GROUP:
+            j += 1
+        if ws not in ref_cache:
+            refs = jnp.asarray(ref_frames[ws : ws + S])[None]
+            ref_cache = {ws: enc(engine.params, refs)}  # keep only current
+        reffeat, reffeat2 = ref_cache[ws]
+        chunks = []
+        for k in range(i, j):
+            st = starts[k]
+            c = l01[st : st + length]
+            if c.shape[0] < length:
+                c = np.concatenate([c, np.repeat(c[-1:], length - c.shape[0], 0)])
+            chunks.append(c)
+        n_real = len(chunks)
+        while len(chunks) < GROUP:
+            chunks.append(chunks[-1])
+        batch = jnp.asarray(np.stack(chunks))
+        ab01g = np.asarray(fwd(engine.params, batch, reffeat, reffeat2))
+        for k in range(n_real):
+            st = starts[i + k]
+            outs.append(ab01g[k][: min(length, T - st)])
+        i = j
     ab01 = np.concatenate(outs)
     ab = np.clip(ab01 * 255.0 - 128.0, -100, 100)
     lab_out = np.concatenate([lab[..., 0:1], ab], axis=-1)

@@ -132,46 +132,80 @@ class _Trunk(nn.Module):
 
 class NetworkC(nn.Module):
     """Input: L (B,T,H,W,1) in [0,1]; refs: RGB (B,Tr,H,W,3) in [0,1];
-    output: ab (B,T,H,W,2) in [0,1] (sigmoid)."""
+    output: ab (B,T,H,W,2) in [0,1] (sigmoid).
 
-    @nn.compact
-    def __call__(self, x, x_refs: Optional[jnp.ndarray] = None):
-        x1 = _Trunk(replication_pad=True, name="down1")(x - 0.4462414)
+    setup + methods so the reference trunk (``encode_refs`` — the heavy
+    half: the 9-block trunk over <=50 ref frames) runs ONCE per sliding
+    window position and is reused across all the frame windows that share
+    it (the torch driver recomputes it every forward)."""
 
-        reffeat = None
-        if x_refs is not None:
-            reffeat = _Trunk(name="reffeatnet1")(x_refs - 0.48)
-            x1 = SourceReferenceAttention(512, name="stattn1")(x1, reffeat)
+    def setup(self):
+        self.down1 = _Trunk(replication_pad=True)
+        self.reffeatnet1 = _Trunk()
+        self.stattn1 = SourceReferenceAttention(512)
+        self.flat0 = TempConv(512)
+        self.flat1 = TempConv(512)
+        self.down2_0 = TempConv(512, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        self.down2_1 = TempConv(512)
+        self.ref2_0 = TempConv(512, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        self.ref2_1 = TempConv(512)
+        self.ref2_2 = TempConv(512)
+        self.stattn2 = SourceReferenceAttention(512)
+        self.conv1 = TempConv(512)
+        self.selfattn1 = SourceReferenceAttention(512)
+        self.up1 = TempConv(512, (3, 3, 3), (1, 1, 1), (1, 1, 1))
+        self.selfattn2 = SourceReferenceAttention(512)
+        self.conv2 = TempConv(256, (3, 3, 3), (1, 1, 1), (1, 1, 1))
+        self.up2_0 = Upsample3d(128)
+        self.up2_1 = TempConv(64, (3, 3, 3), (1, 1, 1), (1, 1, 1))
+        self.up3_0 = Upsample3d(32)
+        self.up3_1 = TempConv(16, (3, 3, 3), (1, 1, 1), (1, 1, 1))
+        self.up4_0 = TempConv(8, (3, 3, 3), (1, 1, 1), (1, 1, 1))
+        self.up4_out = nn.Conv(2, (3, 3, 3), padding=[(1, 1), (1, 1), (1, 1)])
 
-        x2 = TempConv(512, name="flat0")(x1)
-        x2 = TempConv(512, name="flat1")(x2)
+    def encode_refs(self, x_refs):
+        """Reference stack -> (reffeat @1/8, reffeat2 @1/16)."""
+        reffeat = self.reffeatnet1(x_refs - 0.48)
+        reffeat2 = self.ref2_2(self.ref2_1(self.ref2_0(reffeat)))
+        return reffeat, reffeat2
 
-        out = TempConv(512, (1, 3, 3), (1, 2, 2), (0, 1, 1), name="down2_0")(x1)
-        out = TempConv(512, name="down2_1")(out)
+    def colorize_with_refs(self, x, reffeat, reffeat2):
+        """Forward against pre-encoded reference features.  ``reffeat*``
+        may be batch 1 with x batched (broadcast across windows)."""
+        b = x.shape[0]
 
-        if x_refs is not None:
-            reffeat2 = TempConv(512, (1, 3, 3), (1, 2, 2), (0, 1, 1), name="ref2_0")(reffeat)
-            reffeat2 = TempConv(512, name="ref2_1")(reffeat2)
-            reffeat2 = TempConv(512, name="ref2_2")(reffeat2)
-            out = SourceReferenceAttention(512, name="stattn2")(out, reffeat2)
+        def bcast(r):
+            if r.shape[0] == 1 and b > 1:
+                return jnp.broadcast_to(r, (b,) + r.shape[1:])
+            return r
 
-        out = TempConv(512, name="conv1")(out)
-        out = SourceReferenceAttention(512, name="selfattn1")(out, out)
-        # up1: UpsampleConcat with the flat skip
+        x1 = self.down1(x - 0.4462414)
+        if reffeat is not None:
+            x1 = self.stattn1(x1, bcast(reffeat))
+        x2 = self.flat1(self.flat0(x1))
+        out = self.down2_1(self.down2_0(x1))
+        if reffeat2 is not None:
+            out = self.stattn2(out, bcast(reffeat2))
+        out = self.conv1(out)
+        out = self.selfattn1(out, out)
         out = _up_spatial(out, 2)
         out = jnp.concatenate([out, x2], axis=-1)
-        out = TempConv(512, (3, 3, 3), (1, 1, 1), (1, 1, 1), name="up1")(out)
-        out = SourceReferenceAttention(512, name="selfattn2")(out, out)
-        out = TempConv(256, (3, 3, 3), (1, 1, 1), (1, 1, 1), name="conv2")(out)
-        out = Upsample3d(128, name="up2_0")(out)
-        out = TempConv(64, (3, 3, 3), (1, 1, 1), (1, 1, 1), name="up2_1")(out)
-        out = Upsample3d(32, name="up3_0")(out)
-        out = TempConv(16, (3, 3, 3), (1, 1, 1), (1, 1, 1), name="up3_1")(out)
+        out = self.up1(out)
+        out = self.selfattn2(out, out)
+        out = self.conv2(out)
+        out = self.up2_1(self.up2_0(out))
+        out = self.up3_1(self.up3_0(out))
         out = _up_spatial(out, 2)
-        out = TempConv(8, (3, 3, 3), (1, 1, 1), (1, 1, 1), name="up4_0")(out)
-        out = nn.Conv(2, (3, 3, 3), padding=[(1, 1), (1, 1), (1, 1)],
-                      name="up4_out", dtype=out.dtype)(out)
+        out = self.up4_0(out)
+        out = self.up4_out(out)
         return nn.sigmoid(out)
+
+    def __call__(self, x, x_refs: Optional[jnp.ndarray] = None):
+        if x_refs is not None:
+            reffeat, reffeat2 = self.encode_refs(x_refs)
+        else:
+            reffeat = reffeat2 = None
+        return self.colorize_with_refs(x, reffeat, reffeat2)
 
 
 def init_params(seed: int = 0, size: int = 64, t: int = 2, n_refs: int = 2):

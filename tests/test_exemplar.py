@@ -229,9 +229,12 @@ class TestRemasterSlidingWindow:
         seen = []
 
         class StubModel:
-            def apply(self, params, l, refs):
-                seen.append(np.asarray(refs)[0, :, 0, 0, 0].copy())
-                t = l.shape[1]
+            def apply(self, params, *args, method=None):
+                if method == "encode_refs":
+                    refs = args[0]
+                    seen.append(np.asarray(refs)[0, :, 0, 0, 0].copy())
+                    return refs, refs
+                l = args[0]
                 return jnp.full(l.shape[:-1] + (2,), 0.5, jnp.float32)
 
         class StubEngine:
