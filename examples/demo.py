@@ -13,7 +13,12 @@ Mirrors a typical vs-deoldify VapourSynth script:
 but as a self-contained CLI over havc_tpu's Clip pipeline.
 """
 import argparse
+import os
+import sys
 import time
+
+# runnable from a checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -29,6 +34,8 @@ def main():
                     help="exemplar propagation from scene-change refs")
     ap.add_argument("--weights-dir", default=None,
                     help="directory of converted .npz checkpoints")
+    ap.add_argument("--streaming", action="store_true",
+                    help="bounded-memory streaming pipeline (any length)")
     args = ap.parse_args()
 
     import havc_tpu
@@ -38,6 +45,17 @@ def main():
         from havc_tpu.engines import set_weights_dir
 
         set_weights_dir(args.weights_dir)
+
+    if args.streaming:
+        t0 = time.time()
+        n = havc_tpu.HAVC_main_streaming(
+            args.input, args.output, Preset=args.preset,
+            ColorModel=args.color_model, ColorTune=args.color_tune,
+            count=args.frames,
+        )
+        dt = time.time() - t0
+        print(f"streamed {n} frames in {dt:.1f}s ({n / dt:.1f} fps)")
+        return
 
     clip = read_video(args.input, count=args.frames)
     print(f"loaded {clip.num_frames} frames {clip.height}x{clip.width}")
