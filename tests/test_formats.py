@@ -93,3 +93,27 @@ def test_native_dither_matches_reference_fs():
     except NativeUnavailable:
         pytest.skip("native toolchain unavailable")
     np.testing.assert_array_equal(got[0], ref)
+
+
+def test_y4m_write_native_read_roundtrip(tmp_path):
+    """write_video_y4m (restore_format path) -> native Y4M reader: frames
+    survive the matrix/range/dither encode within 8-bit 4:2:0 bounds."""
+    from havc_tpu.clip import from_frames
+    from havc_tpu.io import write_video_y4m
+    from havc_tpu.io.native import NativeUnavailable, Y4MStream
+
+    rgb = _smooth(3, 48, 64)
+    clip = from_frames(rgb)
+    path = str(tmp_path / "t.y4m")
+    # BT.601 limited: the native reader decodes 601 full-range — use the
+    # writer's 601/full mode so the roundtrip is self-consistent
+    write_video_y4m(clip, path, matrix="601", range_full=True)
+    try:
+        frames = list(Y4MStream(path))
+    except NativeUnavailable:
+        pytest.skip("native toolchain unavailable")
+    assert len(frames) == 3
+    got = np.stack(frames)
+    assert got.shape == rgb.shape
+    err = np.abs(got - rgb).mean()
+    assert err < 0.02, err
