@@ -151,21 +151,52 @@ class ColorMNetEngine:
             self.g16_hw = (self.h // 16, self.w // 16)
             return
         registry.random_init_used = True
-        rng = jax.random.PRNGKey(seed)
-        dummy = jnp.zeros((1, self.h, self.w, 3), jnp.float32)
-        self.p_key = self.key_encoder.init(rng, dummy)
-        g16, g8, g4 = self.key_encoder.apply(self.p_key, dummy)
-        self.f16_dim = g16.shape[-1]
-        self.p_proj = self.key_proj.init(rng, g16)
-        hidden = jnp.zeros((2, g16.shape[1], g16.shape[2], self.hidden_dim))
-        chroma = jnp.zeros((1, 2, self.h, self.w))
-        self.p_value = self.value_encoder.init(rng, dummy, g16, hidden, chroma)
-        mem_read = jnp.zeros((2, g16.shape[1], g16.shape[2], self.value_dim))
-        self.p_dec = self.decoder.init(rng, g16, g8, g4, hidden, mem_read)
-        k = jnp.zeros((1, g16.shape[1], g16.shape[2], self.key_dim))
-        v = jnp.zeros((1, g16.shape[1], g16.shape[2], 2 * self.value_dim))
-        self.p_attn = self.local_attn.init(rng, k, k, v)
-        self.g16_hw = (g16.shape[1], g16.shape[2])
+
+        def build():
+            rng = jax.random.PRNGKey(seed)
+            dummy = jnp.zeros((1, self.h, self.w, 3), jnp.float32)
+            self.p_key = self.key_encoder.init(rng, dummy)
+            g16, g8, g4 = self.key_encoder.apply(self.p_key, dummy)
+            self.f16_dim = g16.shape[-1]
+            self.p_proj = self.key_proj.init(rng, g16)
+            hidden = jnp.zeros((2, g16.shape[1], g16.shape[2], self.hidden_dim))
+            chroma = jnp.zeros((1, 2, self.h, self.w))
+            self.p_value = self.value_encoder.init(rng, dummy, g16, hidden, chroma)
+            mem_read = jnp.zeros((2, g16.shape[1], g16.shape[2], self.value_dim))
+            self.p_dec = self.decoder.init(rng, g16, g8, g4, hidden, mem_read)
+            k = jnp.zeros((1, g16.shape[1], g16.shape[2], self.key_dim))
+            v = jnp.zeros((1, g16.shape[1], g16.shape[2], 2 * self.value_dim))
+            # init with the unfold path: same param tree, and the Pallas
+            # kernel cannot trace on the CPU init device
+            from ..models import colormnet as _cm
+
+            attn_init = _cm.LocalAttention(
+                d_qk=self.key_dim, d_vu=2 * self.value_dim, use_pallas=False
+            )
+            self.p_attn = attn_init.init(rng, k, k, v)
+            self.g16_hw = (g16.shape[1], g16.shape[2])
+
+        # random init on the HOST CPU backend: the remote/TPU compile of
+        # the giant init program took minutes (R1 note: full ColorMNet init
+        # ~minutes on axon); CPU init + device_put of the finished trees is
+        # far cheaper, and the trees transfer once
+        default_is_cpu = jax.default_backend() == "cpu"
+        try:
+            cpu0 = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu0 = None
+        if cpu0 is not None and not default_is_cpu:
+            with jax.default_device(cpu0):
+                build()
+            dev = jax.devices()[0]
+            move = lambda t: jax.device_put(t, dev)
+            self.p_key = move(self.p_key)
+            self.p_proj = move(self.p_proj)
+            self.p_value = move(self.p_value)
+            self.p_dec = move(self.p_dec)
+            self.p_attn = move(self.p_attn)
+        else:
+            build()
         if self.dtype != jnp.float32:
             self.p_key = self._cast(self.p_key)
             self.p_proj = self._cast(self.p_proj)

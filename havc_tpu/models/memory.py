@@ -195,7 +195,11 @@ def _consolidate(state: MemoryState, cfg: MemoryConfig) -> MemoryState:
         lt_shrink=put(state.lt_shrink, proto_shrink),
         lt_values=put(state.lt_values, proto_values, axis0=True),
         lt_usage=state.lt_usage.at[dst].set(
-            jnp.where(proto_valid, 0.0, state.lt_usage[dst])
+            jnp.where(
+                proto_valid,
+                jnp.zeros((), state.lt_usage.dtype),
+                state.lt_usage[dst],
+            )
         ),
         lt_valid=new_lt_valid,
         lt_ptr=state.lt_ptr + n_proto,
@@ -203,7 +207,11 @@ def _consolidate(state: MemoryState, cfg: MemoryConfig) -> MemoryState:
     # sieve: consolidated frames leave the working store
     return state._replace(
         work_valid=state.work_valid & ~cand_frame,
-        work_usage=jnp.where(cand_frame[:, None], 0.0, state.work_usage),
+        work_usage=jnp.where(
+            cand_frame[:, None],
+            jnp.zeros((), state.work_usage.dtype),
+            state.work_usage,
+        ),
     )
 
 
@@ -238,7 +246,9 @@ def insert_working(
             work_keys=s.work_keys.at[slot].set(keys),
             work_shrink=s.work_shrink.at[slot].set(shrink),
             work_values=s.work_values.at[:, slot].set(values),
-            work_usage=s.work_usage.at[slot].set(0.0),
+            work_usage=s.work_usage.at[slot].set(
+                jnp.zeros((), s.work_usage.dtype)
+            ),
             work_valid=s.work_valid.at[slot].set(True),
             work_t=s.work_t.at[slot].set(s.work_ptr),
             work_ptr=s.work_ptr + 1,
