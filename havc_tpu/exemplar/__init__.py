@@ -100,10 +100,13 @@ class ColorMNetEngine:
             self.mem_cfg = MemoryConfig(
                 key_dim=self.key_dim, value_dim=self.value_dim,
                 tokens_per_frame=self.h16 * self.w16,
-                perm_frames=2, work_frames=3, min_work_frames=1,
-                lt_tokens=64, n_proto=8, top_k=8,
+                max_mt_frames=3, min_mt_frames=1,
+                num_prototypes=8, lt_capacity=64, top_k=8,
             )
         else:
+            # reference driver config (colormnet_render.py:116-130):
+            # max_mt=10, min_mt=5, P=128, top_k=30, mem_every=5, LT_max =
+            # max_memory_frames tokens (DEF_MAX_MEMORY_FRAMES cap)
             self.mem_cfg = MemoryConfig(
                 key_dim=self.key_dim,
                 value_dim=self.value_dim,
@@ -228,25 +231,37 @@ def colormnet_propagate(
     normalized ab predictions.
 
     Faithful re-expression of InferenceCore (inference_core.py:9-231) as a
-    fixed-shape ``lax.scan``:
+    fixed-shape ``lax.scan``, with deep_update_every = -1 (sync mode, the
+    driver default, colormnet_render.py:125) and enable_long_term = True:
 
     * ``frame_propagate=True`` == ``processor.step`` (reference frames are
       colorized versions of the video frames themselves): on ref frames the
-      output IS the reference ab, the current frame's key/value (with ref
-      ab) is inserted, and the hidden state is re-created.
-    * ``frame_propagate=False`` == ``step_AnyExemplar`` (exemplar image !=
-      current frame): the exemplar image's OWN key/value is encoded and
-      inserted first (inference_core.py:155-185), then the current frame is
-      segmented against it — the output on ref frames is the *prediction*.
+      output IS the reference ab and the current frame's key/value (with
+      ref ab) is inserted; ``need_segment`` is t > 0, so mid-clip ref
+      frames still run readout + decode (their usage side effects count)
+      with the result discarded (inference_core.py:54-97).
+    * ``frame_propagate=False`` == ``step_AnyExemplar`` with
+      flag_FirstframeIsExemplar=False: on ref frames the exemplar image's
+      OWN key/value is encoded and inserted first (inference_core.py:
+      151-183, deep update forced off), then the current frame is decoded
+      against it (short-term attention skipped, :193-197) — the output on
+      ref frames is the *prediction* — and the current frame's key/value
+      (with predicted ab) is ALSO inserted (:215-228).
     * short-term local attention reads the last MEMORY frame's key/value
-      (last_ti_key/value, updated only on memory frames), skipped on
-      exemplar-insert steps (inference_core.py:196-203).
+      (last_ti_key/value, updated on every memory insert).
     * memory cadence: ``is_mem = ref or (t - last_mem_t >= mem_every)``;
-      deep (value-encoder GRU) hidden updates happen on non-ref memory
-      frames, decoder GRU updates otherwise (deep_update_sync semantics).
-    * ``vivid`` resets the entire memory + hidden at each new reference
-      (colormnet_render.py:204-221 reset_on_ref_update) and uses the
-      exemplar-insert branch for ref frames.
+      in sync mode every working-memory frame is a deep update (value-
+      encoder GRU reinforces the hidden, the decoder GRU output of that
+      step is discarded: segment runs h_out=False) EXCEPT exemplar-insert
+      steps, where is_deep_update is forced False and the decoder GRU
+      output is kept.
+    * the hidden state is created once and NEVER reset on later references
+      (memory_manager.create_hidden_state:195-206 is a no-op when the
+      hidden exists).
+    * ``vivid`` rebuilds the whole InferenceCore at each new reference
+      (colormnet_render.py:204-221 reset_on_ref_update): memory, hidden,
+      frame counters and last-memory state all reset, and the
+      exemplar-insert branch is used from then on.
 
     Performance structure: the KEY ENCODER (resnet50 + DINOv2 — the bulk of
     the FLOPs) has no sequential dependence, so it runs BATCHED over frames
@@ -275,37 +290,63 @@ def colormnet_propagate(
 
         if vivid:
             # full reset at each new reference: the reference deletes the
-            # whole InferenceCore (colormnet_render.py:204-221)
-            def clear(s):
-                z = mem.init_memory(cfg, dtype=s.perm_keys.dtype)
-                return z
+            # whole InferenceCore (colormnet_render.py:204-221), so frame
+            # counters and last-memory state restart too
+            def clear(c):
+                s, h, lk, lv, fi, lm = c
+                z = mem.init_memory(cfg, dtype=s.work_keys.dtype)
+                return (z, jnp.zeros_like(h), jnp.zeros_like(lk),
+                        jnp.zeros_like(lv), jnp.zeros_like(fi),
+                        jnp.zeros_like(lm))
 
-            state = jax.lax.cond(ref_flag, clear, lambda s: s, state)
-            hidden = jnp.where(ref_flag, jnp.zeros_like(hidden), hidden)
+            carry_t = (state, hidden, last_key, last_value, frame_idx,
+                       last_mem_t)
+            (state, hidden, last_key, last_value, frame_idx,
+             last_mem_t) = jax.lax.cond(
+                ref_flag, clear, lambda c: c, carry_t
+            )
 
         qk = key[0].reshape(P, -1)
         qe = sel[0].reshape(P, -1)
 
+        is_mem = jnp.logical_or(
+            ref_flag, frame_idx - last_mem_t >= cfg.mem_every
+        )
+        exem = jnp.logical_and(ref_flag, exemplar_insert)
+        # sync mode: deep update on every memory frame EXCEPT exemplar
+        # inserts (is_deep_update forced False, inference_core.py:153)
+        is_deep = jnp.logical_and(is_mem, jnp.logical_not(exem)) \
+            if exemplar_insert else is_mem
+        normal_upd = jnp.logical_not(is_deep)
+
         if exemplar_insert:
-            # step_AnyExemplar: encode the exemplar image's OWN key/value
-            # and insert it (hidden freshly created = zeros for its encode);
-            # ref keys/features were precomputed batched
-            ref_l3, rg16, rkey, rshrink = ref_pre
+            # step_AnyExemplar ref branch: encode the exemplar image's OWN
+            # key/value and insert BEFORE the readout (the value encoder
+            # output is hidden-independent; is_deep_update=False)
+            ref_l3, rg16, rkey, rshrink, rsel = ref_pre
             rvalue, _ = engine.value_encoder.apply(
                 p_value, ref_l3[None], rg16[None], jnp.zeros_like(hidden),
                 rab_oihw[None], deep_update=False,
             )
-            state = mem.insert_reference(
+            state = mem.insert_working(
                 state, cfg, rkey.reshape(P, -1), rshrink.reshape(P),
-                rvalue.reshape(2, P, engine.value_dim), ref_flag,
+                rsel.reshape(P, -1),
+                rvalue.reshape(2, P, engine.value_dim), exem,
             )
-            last_key = jnp.where(ref_flag, rkey[None], last_key)
-            last_value = jnp.where(ref_flag, rvalue, last_value)
-        # hidden is re-created (zeroed) whenever a reference arrives
-        # (memory.create_hidden_state, inference_core.py:103/168)
-        hidden = jnp.where(ref_flag, jnp.zeros_like(hidden), hidden)
+            last_key = jnp.where(exem, rkey[None], last_key)
+            last_value = jnp.where(exem, rvalue, last_value)
+            last_mem_t = jnp.where(exem, frame_idx, last_mem_t)
 
-        mem_read, state = mem.read_memory(state, cfg, qk, qe)  # (O,P,Cv)
+        # need_segment: always True in exemplar mode; in step() mode the
+        # driver passes valid_labels on ref frames which makes it False
+        # there and at t=0 (inference_core.py:55 + colormnet_render.py:255)
+        # — no match side effects on those steps
+        seg_ran = jnp.asarray(True) if exemplar_insert else jnp.logical_and(
+            frame_idx > 0, jnp.logical_not(ref_flag)
+        )
+        mem_read, state = mem.read_memory(
+            state, cfg, qk, qe, update_usage=seg_ran
+        )  # (O,P,Cv)
         mem_read = mem_read.reshape(2, h16, w16, engine.value_dim)
 
         # short-term: window attention current-key -> last MEMORY frame,
@@ -316,8 +357,8 @@ def colormnet_propagate(
         short = engine.local_attn.apply(p_attn, key, last_key, last_value_joint)
         short = short.reshape(h16, w16, 2, engine.value_dim).transpose(2, 0, 1, 3)
         if exemplar_insert:
-            # skipped on exemplar-insert steps (inference_core.py:196-199)
-            short = jnp.where(ref_flag, jnp.zeros_like(short), short)
+            # skipped on exemplar-insert steps (inference_core.py:193-197)
+            short = jnp.where(exem, jnp.zeros_like(short), short)
         readout_total = mem_read + short
 
         hidden_dec, logits = engine.decoder.apply(
@@ -331,23 +372,23 @@ def colormnet_propagate(
             ab_out = jnp.where(ref_flag, rab_oihw, ab_pred)
             ab_used = ab_out
 
-        is_mem = jnp.logical_or(
-            ref_flag, frame_idx - last_mem_t >= cfg.mem_every
+        # hidden after segment: decoder GRU kept on normal updates when a
+        # segment actually ran
+        h1 = jnp.where(
+            jnp.logical_and(seg_ran, normal_upd), hidden_dec, hidden
         )
-        # deep update (value-encoder GRU) on non-ref memory frames; the
-        # decoder GRU output is kept otherwise.  On deep-update frames the
-        # decoder runs with h_out=False in the reference — its hidden is
-        # discarded, the value encoder reinforces the PREVIOUS hidden.
-        deep = jnp.logical_and(is_mem, jnp.logical_not(ref_flag))
-        hidden_for_value = jnp.where(deep, hidden, hidden_dec)
+
+        # current-frame value encode + insert; on deep-update frames the
+        # value encoder reinforces the PREVIOUS hidden (h1 == carry hidden
+        # there, since normal_upd and is_deep are mutually exclusive)
         value16, hidden_reinf = engine.value_encoder.apply(
-            p_value, frame_b, g16, hidden_for_value, ab_used[None]
+            p_value, frame_b, g16, h1, ab_used[None]
         )  # value16: (2, h16, w16, Cv)
-        hidden_out = jnp.where(deep, hidden_reinf, hidden_dec)
+        hidden_out = jnp.where(is_deep & is_mem, hidden_reinf, h1)
 
         tokens_v = value16.reshape(2, P, engine.value_dim)
         state = mem.insert_working(
-            state, cfg, qk, shrink[0].reshape(P), tokens_v, is_mem
+            state, cfg, qk, shrink[0].reshape(P), qe, tokens_v, is_mem
         )
         last_key = jnp.where(is_mem, key, last_key)
         last_value = jnp.where(is_mem, value16, last_value)
@@ -417,8 +458,8 @@ def colormnet_propagate(
 
     if exemplar_insert:
         refs_l3 = prep(jnp.asarray(ref_frames, jnp.float32))
-        rg16s, _, _, rkeys, rshrinks, _ = batch_encode(refs_l3)
-        ref_pre = (refs_l3, rg16s, rkeys, rshrinks)
+        rg16s, _, _, rkeys, rshrinks, rsels = batch_encode(refs_l3)
+        ref_pre = (refs_l3, rg16s, rkeys, rshrinks, rsels)
     else:
         ref_pre = jnp.zeros((frames_l3.shape[0],), dtype)  # unused placeholder
 

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ViT", "VIT_CONFIGS", "DinoSegmentor"]
+__all__ = ["ViT", "VIT_CONFIGS", "DinoSegmentor", "torch_bicubic_resize"]
 
 VIT_CONFIGS = {
     "dinov2_s14": dict(patch=14, dim=384, depth=12, heads=6),
@@ -72,6 +72,85 @@ class Block(nn.Module):
         return x + y * jnp.asarray(ls2, x.dtype)
 
 
+def _cubic_weights(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    """Cubic convolution weights for 4 taps at offsets (-1, 0, 1, 2) from
+    the floor index, torch/OpenCV convention (A = -0.75)."""
+    # |x| for the four taps given fractional position t in [0, 1)
+    x0, x1, x2, x3 = 1.0 + t, t, 1.0 - t, 2.0 - t
+
+    def near(x):  # |x| <= 1
+        return (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0
+
+    def far(x):  # 1 < |x| < 2
+        return a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a
+
+    return jnp.stack([far(x0), near(x1), near(x2), far(x3)], axis=-1)
+
+
+def _bicubic_1d(x: jnp.ndarray, out_size: int, scale: float, axis: int):
+    """Torch ``F.interpolate(mode='bicubic', align_corners=False)`` along
+    one axis with an explicit sampling scale (matches scale_factor
+    semantics: src = (dst + 0.5) / scale - 0.5, taps clamped to edges)."""
+    in_size = x.shape[axis]
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    src = (dst + 0.5) / scale - 0.5
+    i0 = jnp.floor(src)
+    t = src - i0
+    w = _cubic_weights(t)  # (out, 4)
+    idx = jnp.clip(
+        i0[:, None].astype(jnp.int32) + jnp.arange(-1, 3)[None, :],
+        0, in_size - 1,
+    )  # (out, 4)
+    taps = jnp.take(x, idx.reshape(-1), axis=axis)
+    shape = list(x.shape)
+    shape[axis : axis + 1] = [out_size, 4]
+    taps = taps.reshape(shape)
+    w_shape = [1] * taps.ndim
+    w_shape[axis], w_shape[axis + 1] = out_size, 4
+    return jnp.sum(taps * w.reshape(w_shape), axis=axis + 1)
+
+
+def torch_bicubic_resize(x: jnp.ndarray, out_hw, scale_hw=None):
+    """Torch-exact bicubic resize over the two leading-minor spatial axes of
+    a (B, H, W, C) array.  ``scale_hw`` supplies explicit sampling scales
+    (F.interpolate scale_factor semantics); defaults to out/in."""
+    oh, ow = out_hw
+    sh = scale_hw[0] if scale_hw else oh / x.shape[1]
+    sw = scale_hw[1] if scale_hw else ow / x.shape[2]
+    x = _bicubic_1d(x, oh, sh, axis=1)
+    return _bicubic_1d(x, ow, sw, axis=2)
+
+
+def _linear_1d(x: jnp.ndarray, out_size: int, scale: float, axis: int):
+    """Torch ``F.interpolate(mode='bilinear', align_corners=False)`` along
+    one axis — NO antialiasing even when downscaling (unlike
+    jax.image.resize); negative source coords clamp to 0 (torch
+    area_pixel_compute_source_index)."""
+    in_size = x.shape[axis]
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    src = jnp.maximum((dst + 0.5) / scale - 0.5, 0.0)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i0 = jnp.clip(i0, 0, in_size - 1)
+    i1 = jnp.clip(i0 + 1, 0, in_size - 1)
+    t = src - i0.astype(jnp.float32)
+    a = jnp.take(x, i0, axis=axis)
+    b = jnp.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    t = t.reshape(shape)
+    return a * (1.0 - t) + b * t
+
+
+def torch_bilinear_resize(x: jnp.ndarray, out_hw):
+    """Torch-exact ``F.interpolate(mode='bilinear', align_corners=False,
+    antialias=False)`` over H, W of a (B, H, W, C) array — matches the
+    reference's feature-map re-grids (e.g. the Segmentor's 1/14 -> 1/16
+    DOWNSCALE, resnet.py:244, where jax.image.resize would antialias)."""
+    oh, ow = out_hw
+    x = _linear_1d(x, oh, oh / x.shape[1], axis=1)
+    return _linear_1d(x, ow, ow / x.shape[2], axis=2)
+
+
 class ViT(nn.Module):
     """Returns the requested intermediate layer outputs as feature maps
     (B, H/p, W/p, dim) — ``get_intermediate_layers(..., reshape=True)``."""
@@ -112,10 +191,17 @@ class ViT(nn.Module):
         )
         pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
         if (gh, gw) != (g0, g0):
-            pos_patch = jax.image.resize(
-                pos_patch.reshape(1, g0, g0, self.dim),
-                (1, gh, gw, self.dim), "bicubic",
-            ).reshape(1, gh * gw, self.dim)
+            # upstream interpolate_pos_encoding (dinov2
+            # vision_transformer.py): bicubic with
+            # scale_factor=(grid + 0.1)/pretrain_grid, antialias off —
+            # replicated exactly so converted checkpoints see the same
+            # positional code as the torch reference
+            off = 0.1
+            pos_patch = torch_bicubic_resize(
+                pos_patch.reshape(1, g0, g0, self.dim).astype(jnp.float32),
+                (gh, gw),
+                scale_hw=((gh + off) / g0, (gw + off) / g0),
+            ).reshape(1, gh * gw, self.dim).astype(pos.dtype)
         x = jnp.concatenate(
             [jnp.broadcast_to(jnp.asarray(cls, x.dtype), (b, 1, self.dim)), x],
             axis=1,
@@ -162,7 +248,8 @@ class DinoSegmentor(nn.Module):
             jnp.asarray(var, f.dtype) + 1e-5
         ) * jnp.asarray(scale, f.dtype) + jnp.asarray(bias, f.dtype)
         f = nn.relu(f)
-        # re-interp from the 1/14 grid to the 1/16 grid (x * 14/16)
+        # re-interp from the 1/14 grid to the 1/16 grid (x * 14/16) —
+        # torch-exact bilinear, no antialias (resnet.py:243-244)
         b, gh, gw, c = f.shape
         nh, nw = int(gh * 14 / 16), int(gw * 14 / 16)
-        return jax.image.resize(f, (b, nh, nw, c), "bilinear")
+        return torch_bilinear_resize(f, (nh, nw))

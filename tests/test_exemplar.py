@@ -16,9 +16,24 @@ from havc_tpu.models.colormnet import get_similarity, topk_softmax, readout
 def mem_cfg():
     return mem.MemoryConfig(
         key_dim=4, value_dim=8, tokens_per_frame=6,
-        perm_frames=2, work_frames=3, min_work_frames=1, lt_tokens=16,
-        n_proto=4, top_k=4,
+        max_mt_frames=3, min_mt_frames=1, lt_capacity=16,
+        num_prototypes=4, top_k=4,
     )
+
+
+def _rand_insert(rng, cfg, state, enabled=True):
+    P = cfg.tokens_per_frame
+    keys = jnp.asarray(rng.normal(size=(P, cfg.key_dim)).astype(np.float32))
+    sel = jnp.asarray(
+        (rng.random((P, cfg.key_dim)) * 0.9 + 0.05).astype(np.float32)
+    )
+    values = jnp.asarray(
+        rng.normal(size=(2, P, cfg.value_dim)).astype(np.float32)
+    )
+    state = mem.insert_working(
+        state, cfg, keys, jnp.ones((P,)), sel, values, jnp.asarray(enabled)
+    )
+    return state, (keys, sel, values)
 
 
 class TestMemoryBank:
@@ -28,57 +43,56 @@ class TestMemoryBank:
         out, _ = mem.read_memory(state, mem_cfg, qk, None)
         assert np.abs(np.asarray(out)).max() == 0.0
 
-    def test_reference_insert_and_recall(self, mem_cfg):
+    def test_insert_and_recall(self, mem_cfg):
         state = mem.init_memory(mem_cfg)
         rng = np.random.default_rng(0)
-        keys = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
-        values = jnp.asarray(rng.normal(size=(2, 6, 8)).astype(np.float32))
-        shrink = jnp.ones((6,))
-        state = mem.insert_reference(
-            state, mem_cfg, keys, shrink, values, jnp.asarray(True)
-        )
+        state, (keys, _, values) = _rand_insert(rng, mem_cfg, state)
         # query with the same keys: readout should closely match the values
         out, _ = mem.read_memory(state, mem_cfg, keys, None)
-        # top-k softmax over a single matching frame: dominated by self-slot
-        self_sim = np.einsum("pc,pc->p", np.asarray(keys), np.asarray(keys))
         assert np.corrcoef(
             np.asarray(out)[0].ravel(), np.asarray(values)[0].ravel()
         )[0, 1] > 0.5
 
     def test_masked_insert_noop(self, mem_cfg):
         state = mem.init_memory(mem_cfg)
-        keys = jnp.ones((6, 4))
-        values = jnp.ones((2, 6, 8))
-        state2 = mem.insert_reference(
-            state, mem_cfg, keys, jnp.ones((6,)), values, jnp.asarray(False)
-        )
-        assert not bool(np.asarray(state2.perm_valid).any())
-        assert int(state2.perm_ptr) == 0
+        rng = np.random.default_rng(3)
+        state2, _ = _rand_insert(rng, mem_cfg, state, enabled=False)
+        assert not bool(np.asarray(state2.work_valid).any())
+        assert int(state2.next_stamp) == 0
 
-    def test_working_ring_eviction_consolidates(self, mem_cfg):
+    def test_full_store_consolidates(self, mem_cfg):
         state = mem.init_memory(mem_cfg)
         rng = np.random.default_rng(1)
-        for i in range(mem_cfg.work_frames + 1):
-            keys = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
-            values = jnp.asarray(rng.normal(size=(2, 6, 8)).astype(np.float32))
-            state = mem.insert_working(
-                state, mem_cfg, keys, jnp.ones((6,)), values, jnp.asarray(True)
-            )
-        # one eviction happened -> long-term ring received n_proto tokens
-        assert int(state.lt_ptr) == mem_cfg.n_proto
-        assert int(np.asarray(state.lt_valid).sum()) == mem_cfg.n_proto
-        assert int(state.work_ptr) == mem_cfg.work_frames + 1
+        for i in range(mem_cfg.max_mt_frames):
+            state, _ = _rand_insert(rng, mem_cfg, state)
+        # store reached max_mt -> consolidation ran post-insert
+        # (memory_manager.py:183-193): long-term received n_proto tokens
+        # and the working store shrank to min_mt frames
+        assert int(np.asarray(state.lt_valid).sum()) == mem_cfg.num_prototypes
+        assert int(np.asarray(state.work_valid).sum()) == mem_cfg.min_mt_frames
+        assert int(state.next_stamp) == mem_cfg.max_mt_frames
+
+    def test_first_insert_protected(self, mem_cfg):
+        state = mem.init_memory(mem_cfg)
+        rng = np.random.default_rng(5)
+        state, first = _rand_insert(rng, mem_cfg, state)
+        for i in range(7):
+            state, _ = _rand_insert(rng, mem_cfg, state)
+        wv = np.asarray(state.work_valid)
+        ws = np.asarray(state.work_stamp)
+        assert ((ws == 0) & wv).any(), "first insert was consolidated away"
+        kept = np.asarray(state.work_keys)[np.argmax((ws == 0) & wv)]
+        np.testing.assert_allclose(kept, np.asarray(first[0]), atol=1e-6)
 
     def test_usage_accumulates(self, mem_cfg):
         state = mem.init_memory(mem_cfg)
         rng = np.random.default_rng(2)
-        keys = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
-        values = jnp.asarray(rng.normal(size=(2, 6, 8)).astype(np.float32))
-        state = mem.insert_working(
-            state, mem_cfg, keys, jnp.ones((6,)), values, jnp.asarray(True)
-        )
+        state, (keys, _, _) = _rand_insert(rng, mem_cfg, state)
         _, state = mem.read_memory(state, mem_cfg, keys, None)
-        assert float(np.asarray(state.work_usage).sum()) > 0
+        assert float(np.asarray(state.work_use).sum()) > 0
+        # life_count incremented for resident tokens (kv_memory_store:99)
+        live = np.asarray(state.work_life)[np.asarray(state.work_valid)]
+        assert np.allclose(live, 1.0 + 1e-7)
 
 
 class TestSimilarity:
@@ -269,75 +283,143 @@ class TestRemasterSlidingWindow:
             np.testing.assert_allclose(np.diff(w), 0.1, atol=1e-6)
 
 
-class TestConsolidationSemantics:
-    """Reference compress_features/consolidation parity
-    (memory_manager.py:214-288)."""
+class TestMemoryManagerOracle:
+    """Direct oracle: drive the reference torch MemoryManager
+    (memory_manager.py:8-288 + kv_memory_store.py) and the static-shape
+    rebuild with IDENTICAL insert/match schedules and compare readouts.
 
-    def _cfg(self):
-        return mem.MemoryConfig(
-            key_dim=4, value_dim=8, tokens_per_frame=4,
-            perm_frames=1, work_frames=4, min_work_frames=1, lt_tokens=8,
-            n_proto=3, top_k=4,
+    This pins down add-order candidate selection, first-insert protection,
+    normalized-usage prototype ranking, selection-weighted potentiation,
+    top-k readout over [long, work], and use/life accounting — the memory
+    semantics the ColorMNet scan depends on.
+    """
+
+    H, W_ = 2, 4  # token grid (P = 8)
+    CK, CV = 4, 8
+
+    def _torch_mm(self, cfg):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from _ref_loader import load_ref_module
+
+        mm_mod = load_ref_module(
+            "vsdeoldify.colormnet.inference.memory_manager")
+        config = {
+            "hidden_dim": 4,
+            "top_k": cfg.top_k,
+            "enable_long_term": True,
+            "enable_long_term_count_usage": cfg.count_long_usage,
+            "max_mid_term_frames": cfg.max_mt_frames,
+            "min_mid_term_frames": cfg.min_mt_frames,
+            "num_prototypes": cfg.num_prototypes,
+            "max_long_term_elements": cfg.lt_capacity,
+        }
+        return mm_mod.MemoryManager(config=config)
+
+    def _run_pair(self, cfg, schedule, seed=0):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(seed)
+        mm = self._torch_mm(cfg)
+        state = mem.init_memory(cfg)
+        P = self.H * self.W_
+        outs_t, outs_j = [], []
+        for op in schedule:
+            if op == "add":
+                k = rng.normal(size=(P, self.CK)).astype(np.float32)
+                s = (rng.random(P).astype(np.float32) * 2 + 1)
+                e = (rng.random((P, self.CK)).astype(np.float32) * 0.9 + 0.05)
+                v = rng.normal(size=(2, P, self.CV)).astype(np.float32)
+
+                def g(a, c):  # (P, C) -> (1, C, H, W)
+                    return torch.from_numpy(
+                        a.reshape(self.H, self.W_, c).transpose(2, 0, 1).copy()
+                    ).unsqueeze(0)
+
+                mm.add_memory(
+                    g(k, self.CK), g(s[:, None], 1),
+                    torch.from_numpy(
+                        v.reshape(2, self.H, self.W_, self.CV)
+                        .transpose(0, 3, 1, 2).copy()
+                    ).unsqueeze(0),
+                    objects=[1, 2], selection=g(e, self.CK),
+                )
+                state = mem.insert_working(
+                    state, cfg, jnp.asarray(k), jnp.asarray(s),
+                    jnp.asarray(e), jnp.asarray(v), jnp.asarray(True),
+                )
+            else:  # match
+                qk = rng.normal(size=(P, self.CK)).astype(np.float32)
+                qe = (rng.random((P, self.CK)).astype(np.float32) * 0.9 + 0.05)
+
+                def g(a, c):
+                    return torch.from_numpy(
+                        a.reshape(self.H, self.W_, c).transpose(2, 0, 1).copy()
+                    ).unsqueeze(0)
+
+                with torch.no_grad():
+                    r_t = mm.match_memory(g(qk, self.CK), g(qe, self.CK))
+                outs_t.append(
+                    r_t.numpy().reshape(2, self.CV, P).transpose(0, 2, 1)
+                )
+                with jax.default_matmul_precision("highest"):
+                    r_j, state = mem.read_memory(
+                        state, cfg, jnp.asarray(qk), jnp.asarray(qe)
+                    )
+                outs_j.append(np.asarray(r_j))
+        return mm, state, outs_t, outs_j
+
+    def _assert_close(self, outs_t, outs_j, tol=5e-4):
+        for i, (a, b) in enumerate(zip(outs_t, outs_j)):
+            scale = max(np.abs(a).max(), 1e-3)
+            err = np.abs(a - b).max() / scale
+            assert err < tol, f"readout {i}: rel err {err:.2e}"
+
+    def _cfg(self, **kw):
+        kw.setdefault("key_dim", self.CK)
+        kw.setdefault("value_dim", self.CV)
+        kw.setdefault("tokens_per_frame", self.H * self.W_)
+        kw.setdefault("max_mt_frames", 4)
+        kw.setdefault("min_mt_frames", 2)
+        kw.setdefault("num_prototypes", 6)
+        kw.setdefault("lt_capacity", 64)
+        kw.setdefault("top_k", 4)
+        return mem.MemoryConfig(**kw)
+
+    def test_pre_consolidation_parity(self):
+        cfg = self._cfg()
+        schedule = ["add", "match", "add", "match", "add", "match"]
+        _, state, outs_t, outs_j = self._run_pair(cfg, schedule)
+        self._assert_close(outs_t, outs_j)
+        assert int(np.asarray(state.lt_valid).sum()) == 0
+
+    def test_consolidation_parity(self):
+        """Readouts stay equal across repeated consolidations (usage-ranked
+        prototype selection + potentiation + sieve).  With max_mt=4 and
+        min_mt=2 the store refills to 4 frames every 2 adds, so 9 adds
+        consolidate at adds 4, 6 and 8."""
+        cfg = self._cfg()
+        schedule = []
+        for i in range(9):
+            schedule += ["add", "match"]
+        mm, state, outs_t, outs_j = self._run_pair(cfg, schedule)
+        self._assert_close(outs_t, outs_j)
+        # both sides consolidated three times
+        assert mm.long_mem.size == 3 * cfg.num_prototypes
+        assert int(np.asarray(state.lt_valid).sum()) == 3 * cfg.num_prototypes
+        assert mm.work_mem.size // (self.H * self.W_) == int(
+            np.asarray(state.work_valid).sum()
         )
 
-    def _fill(self, cfg, n_frames, seed=0):
-        rng = np.random.default_rng(seed)
-        state = mem.init_memory(cfg)
-        frames = []
-        for i in range(n_frames):
-            k = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
-            v = jnp.asarray(rng.normal(size=(2, 4, 8)).astype(np.float32))
-            frames.append((k, v))
-            state = mem.insert_working(
-                state, cfg, k, jnp.ones((4,)), v, jnp.asarray(True)
-            )
-        return state, frames
-
-    def test_first_frame_protected(self):
-        cfg = self._cfg()
-        state, frames = self._fill(cfg, 7)
-        # the first-inserted frame (work_t == 0) must still be resident
-        wt = np.asarray(state.work_t)
-        wv = np.asarray(state.work_valid)
-        assert ((wt == 0) & wv).any(), "first frame was consolidated away"
-        k0 = np.asarray(frames[0][0])
-        kept = np.asarray(state.work_keys)[np.argmax((wt == 0) & wv)]
-        np.testing.assert_allclose(kept, k0, atol=1e-6)
-
-    def test_prototype_values_are_potentiated(self):
-        """Prototype values must be attention blends over candidates, not
-        copies (the potentiation step)."""
-        cfg = self._cfg()
-        state, frames = self._fill(cfg, 5)
-        lt_v = np.asarray(state.lt_values)
-        lt_valid = np.asarray(state.lt_valid)
-        assert lt_valid.sum() >= cfg.n_proto
-        # potentiated values are convex-ish blends: they should not exactly
-        # equal any single inserted token's value
-        inserted = np.concatenate(
-            [np.asarray(v).reshape(2, 4, 8) for _, v in frames], axis=1
-        )  # (2, 20, 8)
-        for slot in np.nonzero(lt_valid)[0][: cfg.n_proto]:
-            diffs = np.abs(
-                inserted - lt_v[:, slot][:, None, :]
-            ).max(axis=(0, 2))
-            assert diffs.min() > 1e-5  # a blend, not a copy
-
-    def test_lt_overwrites_lowest_usage(self):
-        cfg = self._cfg()
-        state, _ = self._fill(cfg, 5)  # one consolidation -> 3 lt protos
-        # bump usage on some lt slots by reading with their own keys
-        rng = np.random.default_rng(9)
-        qk = jnp.asarray(np.asarray(state.lt_keys)[:4])
-        _, state = mem.read_memory(state, cfg, qk, None)
-        used = np.asarray(state.lt_usage).copy()
-        # force more consolidations
-        for i in range(6):
-            k = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
-            v = jnp.asarray(rng.normal(size=(2, 4, 8)).astype(np.float32))
-            state = mem.insert_working(
-                state, cfg, k, jnp.ones((4,)), v, jnp.asarray(True)
-            )
-        # the highest-usage lt slot should have survived longer than the
-        # zero-usage ones: its usage was reset only if overwritten
-        assert np.asarray(state.lt_valid).sum() > 0
+    def test_eviction_parity(self):
+        """Long-term LRU eviction (remove_obsolete_features): strict
+        greater-than survival threshold on normalized usage."""
+        cfg = self._cfg(lt_capacity=14)
+        # consolidations add 6 protos; at the 3rd, long size 12 >= 14-6=8
+        # -> eviction to 8 first (ties dropped), then +6
+        schedule = []
+        for i in range(13):
+            schedule += ["add", "match"]
+        mm, state, outs_t, outs_j = self._run_pair(cfg, schedule)
+        self._assert_close(outs_t, outs_j)
+        assert mm.long_mem.size == int(np.asarray(state.lt_valid).sum())
+        assert mm.long_mem.size <= cfg.lt_capacity
