@@ -761,7 +761,7 @@ def HAVC_main_presets(
     sc_min_freq: int = 0,
     lut: Optional[int] = None,
     deflicker: bool = False,
-    engine_config: str = "micro",
+    engine_config: Optional[str] = None,
     batch_size: int = 8,
 ) -> Clip:
     """Preset pipeline (HAVC_main_presets, __init__.py:469-912):
@@ -1001,7 +1001,7 @@ def HAVC_colorizer_fast(
     sc_min_freq: int = 10,
     ex_model: Optional[int] = None,
     render_speed: str = "medium",
-    engine_config: str = "micro",
+    engine_config: Optional[str] = None,
     chroma_adjust: str = "none",
     batch_size: int = 8,
     **colorizer_kwargs,
@@ -1044,7 +1044,7 @@ def HAVC_ColorAdjust(
     lut: Optional[int] = None,
     deflicker: bool = False,
     ex_model: int = 0,
-    engine_config: str = "micro",
+    engine_config: Optional[str] = None,
     batch_size: int = 8,
 ) -> Clip:
     """Post color-adjust: optional ReColor via exemplar propagation from a

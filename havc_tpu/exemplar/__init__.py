@@ -24,6 +24,7 @@ The two concurrent ColorMNet server instances of the reference
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Optional, Sequence
 
 import numpy as np
@@ -54,6 +55,27 @@ DEF_VIVID_HUE_LOW = 3.0
 DEF_VIVID_SAT_HIGH = 1.30
 DEF_VIVID_HUE_HIGH = 5.0
 DEF_VIVID_SAT_LOW = 1.15
+
+
+def resolve_engine_config(requested: Optional[str] = None) -> str:
+    """Resolve the ColorMNet engine geometry.
+
+    ``None``/'auto' -> 'full' whenever a converted checkpoint
+    (``<weights_dir>/colormnet.npz``) is configured, else the dev-scale
+    'micro'.  An explicit 'micro' with converted weights present warns:
+    the published geometry would silently be ignored otherwise."""
+    from ..engines import registry
+
+    has_weights = registry.exemplar_tree("colormnet") is not None
+    if requested in (None, "auto"):
+        return "full" if has_weights else "micro"
+    if requested == "micro" and has_weights:
+        warnings.warn(
+            "HAVC: engine_config='micro' ignores the converted ColorMNet "
+            "checkpoint in the configured weights_dir; pass 'full' (or "
+            "leave unset) to use it"
+        )
+    return requested
 
 
 def smart_resize_shape(width: int, height: int, speed: str = "medium"):
@@ -143,6 +165,12 @@ class ColorMNetEngine:
         from ..engines import registry
 
         tree = registry.exemplar_tree("colormnet") if self.cfg_name == "full" else None
+        if tree is None and registry.weights_dir is not None \
+                and self.cfg_name == "full":
+            warnings.warn(
+                "ColorMNet engine: weights_dir is set but no converted "
+                "checkpoint (colormnet.npz) was found — RANDOM init"
+            )
         if tree is not None:
             p = tree["params"]
             self.p_key = self._cast({"params": p["key_encoder"]})
@@ -317,7 +345,11 @@ def colormnet_propagate(
         # inserts (is_deep_update forced False, inference_core.py:153)
         is_deep = jnp.logical_and(is_mem, jnp.logical_not(exem)) \
             if exemplar_insert else is_mem
-        normal_upd = jnp.logical_not(is_deep)
+        # is_normal_update is computed BEFORE the exemplar branch forces
+        # is_deep_update off (inference_core.py:142 vs :153), so on
+        # exemplar-insert steps the hidden is updated by NEITHER the
+        # decoder NOR the value encoder — normal_upd keys off is_mem
+        normal_upd = jnp.logical_not(is_mem)
 
         if exemplar_insert:
             # step_AnyExemplar ref branch: encode the exemplar image's OWN
@@ -504,6 +536,11 @@ class DeepExEngine:
             self.p_warp = {"params": p["warpnet"]}
             self.p_color = {"params": p["colorvid"]}
             return
+        if registry.weights_dir is not None:
+            warnings.warn(
+                "DeepEx engine: weights_dir is set but no converted "
+                "checkpoint (deepex.npz) was found — RANDOM init"
+            )
         registry.random_init_used = True
         self.p_vgg, self.p_warp, self.p_color = dx.init_deepex_params(
             seed, (self.h, self.w)
@@ -627,6 +664,11 @@ class RemasterEngine:
         if tree is not None:
             self.params = tree
             return
+        if registry.weights_dir is not None:
+            warnings.warn(
+                "DeepRemaster engine: weights_dir is set but no converted "
+                "checkpoint (remaster.npz) was found — RANDOM init"
+            )
         registry.random_init_used = True
         self.params = rm.init_params(seed, size=64, t=2, n_refs=2)
 
@@ -793,7 +835,7 @@ def HAVC_deepex(
     colormap: str = "none",
     ref_weight: float = 1.0,
     vivid: bool = False,
-    engine_config: str = "micro",
+    engine_config: Optional[str] = None,
     batch_size: int = 8,
 ) -> Clip:
     """Exemplar-based colorization front-end (HAVC_deepex,
@@ -810,13 +852,17 @@ def HAVC_deepex(
     2 = DeepRemaster, 3 = Deep-CMnet (DeepEx merged with ColorMNet).
 
     ``render_vivid`` semantics per engine (__init__.py:1445-1449):
-    ColorMNet resets its frame memory at each reference; DeepEx +25%
-    saturation; DeepRemaster +15% saturation.
+    ColorMNet resets its frame memory at each reference (reset only —
+    colormnet/__init__.py:54,162); DeepEx +25% saturation
+    (deepex/__init__.py:185); DeepRemaster pre hue+3/sat x1.30 on the
+    references and post hue+5/sat x1.15 on the output
+    (remaster/__init__.py:92-93,197-198).
 
-    ``engine_config='micro'`` (default here) runs the reduced dev-scale
-    ColorMNet; pass 'full' for the published geometry once converted
-    weights are configured.
+    ``engine_config``: None/'auto' resolves to the published 'full'
+    geometry when converted weights are configured (set_weights_dir),
+    else the dev-scale 'micro'.
     """
+    engine_config = resolve_engine_config(engine_config)
     if method in (0, 1, 2) and clip_ref is None:
         raise ValueError(f"HAVC_deepex: method {method} requires clip_ref")
     if method in (3, 4) and sc_framedir is None:
@@ -890,7 +936,10 @@ def HAVC_deepex(
             lambda: prefilter,
         )
         ref_frames = np.asarray(fn(jnp.asarray(ref_frames)))
-    if vivid and ex_model in (0,):
+    if vivid and ex_model == 2:
+        # DeepRemaster pre-tweak on the references: hue +3, sat x1.30
+        # (remaster/__init__.py:92-93).  ColorMNet vivid is reset-only
+        # (colormnet/__init__.py:54) — no reference tweak.
         fn = cached_jit(
             ("vivid_pre",),
             lambda: lambda x: chroma_tweak(

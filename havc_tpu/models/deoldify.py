@@ -324,13 +324,18 @@ def colorize(
 ) -> jnp.ndarray:
     """Driver matching deoldify/filters.py:76-124.
 
-    Square-stretch to ``render_factor*16`` (bilinear), imagenet-normalize,
-    U-Net forward, denormalize, then marry the model chroma to the
+    Square-stretch to ``render_factor*16`` (bilinear), LA grayscale
+    transform (``image.convert('LA').convert('RGB')``, filters.py:94 —
+    rec601 luma replicated to 3 channels), imagenet-normalize, U-Net
+    forward, denormalize, then marry the model chroma to the
     original-resolution luma.
     """
+    from ..ops.colorspace import rgb_to_gray
+
     h, w = rgb.shape[-3], rgb.shape[-2]
     size = render_factor * 16
     sq = resize(rgb, size, size, "bilinear")
+    sq = rgb_to_gray(sq)
     mean = jnp.asarray(IMAGENET_MEAN, rgb.dtype)
     std = jnp.asarray(IMAGENET_STD, rgb.dtype)
     out = model.apply(params, (sq - mean) / std)

@@ -1,0 +1,122 @@
+"""Golden-frame fidelity gate for the DeOldify driver flow (BASELINE
+configs DV/DS/DA ride this path).
+
+Extends the test_golden_zhang pattern to DeOldify: the reference torch
+DynamicUnetWide with seeded weights runs the EXACT reference driver chain
+(deoldify/filters.py:76-124 — PIL BILINEAR square-stretch, LA grayscale
+transform, imagenet normalize, model, denorm + clamp per fastai
+pred_batch(reconstruct=True) with do_y normalization
+(dataset.py:35, basic_train.py:357-363, data_block reconstruct clamp),
+PIL BILINEAR unsquare, cv2 YUV UV-copy post-process) on real benchmark
+images; the same weights flow through fold_spectral_norm/fold_weight_norm
++ the key map into the engine registry, and ``engines.deoldify_frames``
+must land within mean dE2000 <= 1 of the reference output.
+
+The round-2 verdict called out exactly this driver tail (resize
+conventions, normalize order, UV copy-back) as the place driver-level
+divergence hides.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import cv2
+
+torch = pytest.importorskip("torch")
+import PIL
+from PIL import Image as PilImage
+
+from test_ref_parity_deoldify import _build_ref, _convert
+from havc_tpu import engines, metrics
+from havc_tpu.models import convert
+
+RF = 8  # render factor: model works at 128x128 (CPU-sized)
+
+TEST_IMAGES = [
+    "/root/reference/test_images/Image_01_test.jpg",
+    "/root/reference/test_images/Image_07_test.jpg",
+    "/root/reference/test_images/Image_13_test.jpg",
+]
+
+IMAGENET_MEAN = torch.tensor([0.485, 0.456, 0.406])[:, None, None]
+IMAGENET_STD = torch.tensor([0.229, 0.224, 0.225])[:, None, None]
+
+
+@pytest.fixture(scope="module")
+def wide_model():
+    return _build_ref("wide")
+
+
+def _load_image(path, max_side=288):
+    bgr = cv2.imread(path)
+    assert bgr is not None, f"missing test asset {path}"
+    rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    h, w = rgb.shape[:2]
+    scale = max_side / max(h, w)
+    if scale < 1:
+        rgb = cv2.resize(rgb, (int(w * scale), int(h * scale)),
+                         interpolation=cv2.INTER_AREA)
+    return rgb
+
+
+def _reference_driver(tm, rgb_u8, rf):
+    """ColorizerFilter.filter transcription (filters.py:81-124)."""
+    orig = PilImage.fromarray(rgb_u8)
+    sz = rf * 16
+    model_image = (
+        orig.resize((sz, sz), resample=PIL.Image.BILINEAR)
+        .convert("LA")
+        .convert("RGB")
+    )
+    x = torch.from_numpy(
+        np.asarray(model_image).transpose(2, 0, 1).astype(np.float32) / 255.0
+    )
+    xn = (x - IMAGENET_MEAN) / IMAGENET_STD
+    with torch.no_grad():
+        out = tm(xn[None])[0]
+    # pred_batch: denorm (do_y normalization active) then reconstruct clamp
+    out = (out * IMAGENET_STD + IMAGENET_MEAN).clamp(0, 1)
+    out_u8 = (out.numpy().transpose(1, 2, 0) * 255).astype(np.uint8)
+    raw_color = PilImage.fromarray(out_u8).resize(
+        orig.size, resample=PIL.Image.BILINEAR
+    )
+    color_yuv = cv2.cvtColor(np.asarray(raw_color), cv2.COLOR_RGB2YUV)
+    orig_yuv = cv2.cvtColor(rgb_u8, cv2.COLOR_RGB2YUV)
+    hires = orig_yuv.copy()
+    hires[:, :, 1:3] = color_yuv[:, :, 1:3]
+    return cv2.cvtColor(hires, cv2.COLOR_YUV2RGB)  # uint8
+
+
+@pytest.mark.slow
+def test_deoldify_video_golden_de2000(tmp_path, wide_model):
+    params = _convert(wide_model, convert.deoldify_wide_key_map())
+    convert.save_params_npz(params, tmp_path / "deoldify_video.npz")
+    engines.set_weights_dir(str(tmp_path))
+    try:
+        for path in TEST_IMAGES:
+            rgb_u8 = _load_image(path)
+            ref_out = _reference_driver(wide_model, rgb_u8, RF)
+
+            frames = (rgb_u8 / 255.0).astype(np.float32)[None]
+            with jax.default_matmul_precision("highest"):
+                got = np.asarray(
+                    engines.deoldify_frames(
+                        jnp.asarray(frames), model=0, render_factor=RF
+                    )
+                )[0]
+
+            de = metrics.dE2000(ref_out, (got * 255).astype(np.uint8))
+            mean_de = float(np.mean(de))
+            assert mean_de <= 1.0, (
+                f"{os.path.basename(path)}: mean dE2000 {mean_de:.3f} > 1.0"
+            )
+            assert float(np.percentile(de, 99)) <= 5.0, os.path.basename(path)
+    finally:
+        engines.set_weights_dir(None)

@@ -1,0 +1,272 @@
+"""ColorMNet END-TO-END oracle: the jitted lax.scan (colormnet_propagate)
+against the reference torch InferenceCore + MemoryManager, full network,
+converted weights, ~14 frames crossing mem_every boundaries, deep updates,
+consolidations and a mid-video reference.
+
+This is the round-2 verdict's top ask: until now the scan's cadence and
+memory semantics were asserted, not proven.  The reference stack runs on
+CPU torch with two offline substitutions:
+
+* the DINOv2 hub backbone -> tests/_dinov2_oracle.MiniDinoViT (itself
+  numeric-parity-tested against the flax ViT in test_ref_parity_dinov2);
+* LocalGatedPropagation.forward -> a corrected unfold fallback: the
+  reference's own enable_corr=False path has a shape bug at the
+  short_term_attn geometry (attention.py:829 views k with
+  hidden_dim=1024 instead of d_att=64); the replacement computes the
+  exact math of the CUDA correlation path (window product + relative
+  emb + mask + softmax + window aggregation + dw_conv + projection),
+  the same oracle math already pinned by test_local_attention_parity.
+
+Oracles: inference_core.py:9-231 (step, step_AnyExemplar),
+memory_manager.py:8-288, colormnet_render.py:197-290 (driver arguments:
+valid_labels on reference frames, L-replicated input, ab-as-mask).
+"""
+import os
+import sys
+import types
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F
+
+from _dinov2_oracle import MiniDinoViT
+from _ref_loader import load_ref_module, state_dict_numpy
+from test_ref_parity_colormnet import (
+    _randomize_bn_stats,
+    _synthetic_dinov2_state_dict,
+)
+from havc_tpu.models import convert
+
+H = W = 112  # pad_divide_by(112)-native, 8x8 ViT grid, 7x7 token grid
+T = 14
+MEM_CFG = dict(mem_every=3, max_mt=4, min_mt=2, n_proto=8, lt_cap=4096,
+               top_k=8)
+
+
+def _fixed_lgp_forward(self, q, k, v, u, size_2d):
+    """Corrected enable_corr=False forward (see module docstring)."""
+    n, c, h, w = v.size()
+    win = self.window_size
+    dis = self.max_dis
+    rel = self.relative_emb_k(q).view(n, win * win, h * w)
+    qs = (q / self.T).view(n, self.d_att, h, w)
+    kk = k.view(n, self.d_att, h, w)
+    k_unf = F.unfold(F.pad(kk, (dis,) * 4), (win, win)).view(
+        n, self.d_att, win * win, h * w
+    )
+    qk = (qs.view(n, self.d_att, 1, h * w) * k_unf).sum(1) + rel
+    ones = torch.ones(1, 1, h, w)
+    mask_unf = F.unfold(F.pad(ones, (dis,) * 4), (win, win)).view(
+        1, win * win, h * w
+    )
+    qk = qk - (1 - mask_unf) * 1e8
+    attn = torch.softmax(qk, dim=1)
+    v_unf = F.unfold(F.pad(v, (dis,) * 4), (win, win)).view(
+        n, c, win * win, h * w
+    )
+    agg = (attn.unsqueeze(1) * v_unf).sum(2)  # (n, c, hw)
+    agg = agg.permute(2, 0, 1)  # (hw, n, c)
+    out = self.dw_conv(agg, size_2d)
+    out = self.projection(out)
+    return out, attn
+
+
+@pytest.fixture(scope="module")
+def ref_network():
+    """Reference ColorMNet with MiniDinoViT as the hub backbone, seeded."""
+    ref_resnet = load_ref_module("vsdeoldify.colormnet.model.resnet")
+    network_mod = load_ref_module("vsdeoldify.colormnet.model.network")
+
+    torch.manual_seed(0)
+    mini = MiniDinoViT()
+    sd = _synthetic_dinov2_state_dict("b")
+    mini.load_state_dict(
+        {k[2:]: torch.from_numpy(v) for k, v in sd.items()}
+    )
+    orig_load = ref_resnet.load
+    ref_resnet.load = lambda *a, **k: mini
+    try:
+        net = network_mod.ColorMNet(
+            {"key_dim": 64, "value_dim": 512, "hidden_dim": 64,
+             "single_object": False}
+        )
+    finally:
+        ref_resnet.load = orig_load
+    _randomize_bn_stats(net)
+    net.eval()
+    net.short_term_attn.forward = types.MethodType(
+        _fixed_lgp_forward, net.short_term_attn
+    )
+    return net
+
+
+@pytest.fixture(scope="module")
+def engine(ref_network):
+    """Flax engine built from the converted reference state_dict."""
+    from havc_tpu.exemplar import ColorMNetEngine
+    from havc_tpu.models import colormnet as cm
+    from havc_tpu.models.memory import MemoryConfig
+
+    sd = state_dict_numpy(ref_network)
+    params = convert.convert_params(
+        sd, convert.colormnet_key_map(include_backbone=True)
+    )
+    p = params["params"]
+
+    eng = ColorMNetEngine.__new__(ColorMNetEngine)
+    eng.dtype = jnp.float32
+    eng.cfg_name = "full"
+    eng.key_dim, eng.value_dim, eng.hidden_dim = 64, 512, 64
+    eng.h, eng.w = H, W
+    eng.h16, eng.w16 = H // 16, W // 16
+    eng.mem_cfg = MemoryConfig(
+        key_dim=64, value_dim=512, tokens_per_frame=eng.h16 * eng.w16,
+        max_mt_frames=MEM_CFG["max_mt"], min_mt_frames=MEM_CFG["min_mt"],
+        num_prototypes=MEM_CFG["n_proto"], lt_capacity=MEM_CFG["lt_cap"],
+        top_k=MEM_CFG["top_k"], mem_every=MEM_CFG["mem_every"],
+    )
+    eng.key_encoder = cm.KeyEncoder(resnet="resnet50", vit="dinov2_s14")
+    eng.key_proj = cm.KeyProjection(key_dim=64)
+    eng.value_encoder = cm.ValueEncoder(
+        value_dim=512, hidden_dim=64, resnet="resnet18"
+    )
+    eng.decoder = cm.Decoder(value_dim=512, hidden_dim=64)
+    eng.local_attn = cm.LocalAttention(d_qk=64, d_vu=1024, use_pallas=False)
+    eng.p_key = {"params": p["key_encoder"]}
+    eng.p_proj = {"params": p["key_proj"]}
+    eng.p_value = {"params": p["value_encoder"]}
+    eng.p_dec = {"params": p["decoder"]}
+    eng.p_attn = {"params": p["short_term_attn"]}
+    eng.f16_dim = 1024
+    eng.g16_hw = (eng.h16, eng.w16)
+    return eng
+
+
+def _ref_config():
+    return {
+        "key_dim": 64, "value_dim": 512, "hidden_dim": 64,
+        "mem_every": MEM_CFG["mem_every"], "deep_update_every": -1,
+        "enable_long_term": True, "enable_long_term_count_usage": True,
+        "max_mid_term_frames": MEM_CFG["max_mt"],
+        "min_mid_term_frames": MEM_CFG["min_mt"],
+        "num_prototypes": MEM_CFG["n_proto"],
+        "max_long_term_elements": MEM_CFG["lt_cap"],
+        "top_k": MEM_CFG["top_k"],
+    }
+
+
+def _make_data(seed):
+    """Smooth random video + refs; everything handed to both sides in the
+    network's own input space (L replicated to 3 channels, ab in [-1,1])."""
+    from havc_tpu.exemplar import _lab_l3
+
+    rng = np.random.default_rng(seed)
+
+    def smooth(shape):
+        x = rng.standard_normal(shape).astype(np.float32)
+        k = np.ones((1, 5, 5, 1), np.float32) / 25.0
+        from scipy.ndimage import uniform_filter
+
+        return uniform_filter(x, size=(0, 7, 7, 0))
+
+    frames = np.clip(smooth((T, H, W, 3)) * 2 + 0.5, 0, 1).astype(np.float32)
+    ref_rgb = np.clip(smooth((T, H, W, 3)) * 2 + 0.5, 0, 1).astype(np.float32)
+    ref_ab = np.clip(smooth((T, H, W, 2)) * 1.5, -1, 1).astype(np.float32)
+    is_ref = np.zeros(T, bool)
+    is_ref[0] = is_ref[7] = True
+
+    frames_l3 = np.asarray(_lab_l3(jnp.asarray(frames)), np.float32)
+    refs_l3 = np.asarray(_lab_l3(jnp.asarray(ref_rgb)), np.float32)
+    return frames, ref_rgb, ref_ab, is_ref, frames_l3, refs_l3
+
+
+def _drive_reference(net, frames_l3, refs_l3, ref_ab, is_ref,
+                     exemplar: bool):
+    """colormnet_render.colorize_frame driver transcription
+    (colormnet_render.py:197-290)."""
+    ic_mod = load_ref_module(
+        "vsdeoldify.colormnet.inference.inference_core")
+    core = ic_mod.InferenceCore(net, config=_ref_config())
+    core.set_all_labels(list(range(1, 3)))
+    outs = []
+    with torch.no_grad():
+        for t in range(len(frames_l3)):
+            rgb = torch.from_numpy(
+                frames_l3[t].transpose(2, 0, 1).copy()
+            )
+            if is_ref[t]:
+                labels = list(range(1, 3))
+                mab = torch.from_numpy(ref_ab[t].transpose(2, 0, 1).copy())
+                if exemplar:
+                    mlll = torch.from_numpy(
+                        refs_l3[t].transpose(2, 0, 1).copy()
+                    )
+                    prob = core.step_AnyExemplar(rgb, mlll, mab, labels)
+                else:
+                    prob = core.step(rgb, mab, labels)
+            else:
+                if exemplar:
+                    prob = core.step_AnyExemplar(rgb, None, None, None)
+                else:
+                    prob = core.step(rgb, None, None)
+            outs.append(prob.numpy().transpose(1, 2, 0))
+    return np.stack(outs)  # (T, H, W, 2)
+
+
+def _max_rel(a, b):
+    return np.abs(a - b).max() / max(np.abs(a).max(), 1e-3)
+
+
+@pytest.mark.slow
+class TestColorMNetE2E:
+    def test_step_mode(self, ref_network, engine):
+        """frame_propagate=True == InferenceCore.step: refs are the video
+        frames themselves; mid-video ref crosses cadence + consolidation."""
+        from havc_tpu.exemplar import colormnet_propagate
+
+        (frames, ref_rgb, ref_ab, is_ref,
+         frames_l3, refs_l3) = _make_data(0)
+        ref_out = _drive_reference(
+            ref_network, frames_l3, frames_l3, ref_ab, is_ref, False
+        )
+        with jax.default_matmul_precision("highest"):
+            got = colormnet_propagate(
+                engine, frames, ref_ab, is_ref, frame_propagate=True
+            )
+        errs = [
+            _max_rel(ref_out[t], got[t]) for t in range(T)
+        ]
+        assert max(errs) < 2e-2, (
+            "per-frame rel errs: "
+            + " ".join(f"{t}:{e:.1e}" for t, e in enumerate(errs))
+        )
+
+    def test_exemplar_mode(self, ref_network, engine):
+        """frame_propagate=False == step_AnyExemplar: refs are separate
+        exemplar images (double insert on ref steps, short-term skip)."""
+        from havc_tpu.exemplar import colormnet_propagate
+
+        (frames, ref_rgb, ref_ab, is_ref,
+         frames_l3, refs_l3) = _make_data(1)
+        ref_out = _drive_reference(
+            ref_network, frames_l3, refs_l3, ref_ab, is_ref, True
+        )
+        with jax.default_matmul_precision("highest"):
+            got = colormnet_propagate(
+                engine, frames, ref_ab, is_ref, ref_frames=ref_rgb,
+                frame_propagate=False,
+            )
+        errs = [
+            _max_rel(ref_out[t], got[t]) for t in range(T)
+        ]
+        assert max(errs) < 2e-2, (
+            "per-frame rel errs: "
+            + " ".join(f"{t}:{e:.1e}" for t, e in enumerate(errs))
+        )

@@ -102,3 +102,51 @@ def test_deepex_remaster_random_flag(tmp_path):
     exemplar._ENGINE_CACHE.clear()
     eng = exemplar.ColorMNetEngine(config="micro", work_size=(32, 32))
     assert engines.registry.random_init_used
+
+
+def test_engine_config_resolution(tmp_path):
+    """None/'auto' resolves to 'full' when a converted ColorMNet checkpoint
+    is configured and to 'micro' otherwise; an explicit 'micro' with
+    weights present warns (round-2 verdict: silent random-weights trap)."""
+    import warnings as _warnings
+
+    from havc_tpu import exemplar
+
+    assert exemplar.resolve_engine_config(None) == "micro"
+    assert exemplar.resolve_engine_config("full") == "full"
+
+    params = {"params": {"key_proj": {"w": np.ones((2, 2), np.float32)}}}
+    convert.save_params_npz(params, tmp_path / "colormnet.npz")
+    engines.set_weights_dir(str(tmp_path))
+    assert exemplar.resolve_engine_config(None) == "full"
+    assert exemplar.resolve_engine_config("auto") == "full"
+    with pytest.warns(UserWarning, match="micro"):
+        assert exemplar.resolve_engine_config("micro") == "micro"
+
+
+def test_random_fallback_warns(tmp_path):
+    """weights_dir set but engine checkpoint missing -> loud warning."""
+    from havc_tpu import exemplar
+
+    engines.set_weights_dir(str(tmp_path))  # empty dir
+    exemplar._ENGINE_CACHE.clear()
+    with pytest.warns(UserWarning, match="RANDOM init"):
+        exemplar.DeepExEngine(speed="fast")
+
+
+def test_vivid_constants_match_reference():
+    """Vivid tweak constants pinned to the reference
+    (vsslib/constants.py:76-79): DeepRemaster pre hue+3/sat*1.30, post
+    hue+5/sat*1.15; DeepEx ab*1.25; ColorMNet reset-only."""
+    from havc_tpu import exemplar
+
+    assert exemplar.DEF_VIVID_HUE_LOW == 3.0
+    assert exemplar.DEF_VIVID_SAT_HIGH == 1.30
+    assert exemplar.DEF_VIVID_HUE_HIGH == 5.0
+    assert exemplar.DEF_VIVID_SAT_LOW == 1.15
+    import inspect
+
+    src = inspect.getsource(exemplar.HAVC_deepex)
+    # the pre-tweak is DeepRemaster-only (ex_model == 2); ColorMNet (0)
+    # must not pre-tweak its references (colormnet/__init__.py:54)
+    assert "vivid and ex_model == 2" in src
