@@ -483,11 +483,36 @@ def HAVC_auto_levels(
     return HAVC_bw_tune(clip, mode, method, luma_blend, batch_size)
 
 
-def HAVC_retinex(clip: Clip, strength: float = 1.0, batch_size: int = 4) -> Clip:
-    """Multi-scale retinex on luma (HAVC_retinex / vs_retinex)."""
+def HAVC_retinex(
+    clip: Clip,
+    luma_dark: float = 0.20,  # constants.DEF_RETINEX_DARK
+    luma_bright: float = 0.80,  # constants.DEF_RETINEX_BRIGHT
+    sigmas=(25.0, 80.0, 250.0),
+    range_tv_in: bool = True,
+    range_tv_out: bool = True,
+    blend: bool = False,
+    chroma_resize: bool = False,
+    fast_mode: bool = True,
+    batch_size: int = 4,
+    strength: Optional[float] = None,  # pre-round-3 compat: simple mix
+) -> Clip:
+    """Patched MSRCP retinex (HAVC_retinex, __init__.py:1073-1101 +
+    vs_retinex): chromaticity-preserving MSR on the intensity channel,
+    applied only to frames with mean luma inside [luma_dark, luma_bright]
+    (dark/bright frames pass through), optional dark-frame blend ramp."""
+    if strength is not None:
+        return _batched(
+            clip,
+            lambda x: x * (1 - strength)
+            + retinex_ops.msrcp_rgb(x, sigmas) * strength,
+            batch_size,
+        )
     return _batched(
         clip,
-        lambda x: x * (1 - strength) + retinex_ops.msr_luma(x) * strength,
+        lambda x: retinex_ops.retinex_filter(
+            x, luma_dark=luma_dark, luma_bright=luma_bright, sigmas=sigmas,
+            range_tv=range_tv_in, blend=blend, fast_mode=fast_mode,
+        ),
         batch_size,
     )
 

@@ -256,6 +256,41 @@ void fs_dither_u8_batch(const float* src, uint8_t* dst, int n, int w, int h,
     }
 }
 
+// 16-bit-container variant for >8-bit output formats (yuv420p10/p16,
+// 4:2:2/4:4:4 high-depth restore — havc_utils.py restore_format keeps the
+// clip's ORIGINAL depth, which for feature-film sources is routinely 10+
+// bits).  Same Floyd–Steinberg error diffusion, uint16 codes.
+void fs_dither_u16(const float* src, uint16_t* dst, int w, int h,
+                   float lo, float hi) {
+    std::vector<float> err_cur((size_t)w + 2, 0.f);
+    std::vector<float> err_next((size_t)w + 2, 0.f);
+    for (int y = 0; y < h; y++) {
+        std::fill(err_next.begin(), err_next.end(), 0.f);
+        for (int x = 0; x < w; x++) {
+            float v = src[(size_t)y * w + x] + err_cur[x + 1];
+            float q = v + 0.5f;
+            if (q < lo) q = lo;
+            if (q > hi) q = hi;
+            uint16_t code = (uint16_t)q;
+            dst[(size_t)y * w + x] = code;
+            float e = v - (float)code;
+            err_cur[x + 2]  += e * (7.0f / 16.0f);
+            err_next[x]     += e * (3.0f / 16.0f);
+            err_next[x + 1] += e * (5.0f / 16.0f);
+            err_next[x + 2] += e * (1.0f / 16.0f);
+        }
+        std::swap(err_cur, err_next);
+    }
+}
+
+void fs_dither_u16_batch(const float* src, uint16_t* dst, int n, int w,
+                         int h, float lo, float hi) {
+    for (int i = 0; i < n; i++) {
+        fs_dither_u16(src + (size_t)i * w * h, dst + (size_t)i * w * h,
+                      w, h, lo, hi);
+    }
+}
+
 // YUV420 (Y4M layout) -> interleaved RGB float [0,1], BT.601 full range —
 // matches the package's colorspace conventions (ops/colorspace.py).
 void yuv420_to_rgb_f32(const uint8_t* src, float* dst, int w, int h) {

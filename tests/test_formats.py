@@ -117,3 +117,60 @@ def test_y4m_write_native_read_roundtrip(tmp_path):
     assert got.shape == rgb.shape
     err = np.abs(got - rgb).mean()
     assert err < 0.02, err
+
+
+@pytest.mark.parametrize("bits,subsampling", [
+    (8, "420"), (10, "420"), (10, "422"), (16, "444"), (12, "420"),
+])
+def test_highdepth_roundtrip(bits, subsampling):
+    """restore_format at the clip's ORIGINAL depth/subsampling
+    (havc_utils.py:167-237 restores 10/16-bit and 4:2:2/4:4:4 too):
+    quantize-dither then invert; error bounded by the code-value step."""
+    rgb = _smooth(t=2)
+    y, u, v = F.restore_format_yuv(
+        rgb, matrix="709", range_full=False, bits=bits,
+        subsampling=subsampling,
+    )
+    dtype = np.uint8 if bits <= 8 else np.uint16
+    assert y.dtype == dtype and u.dtype == dtype
+    th, tw = rgb.shape[1:3]
+    exp_c = {
+        "420": (th // 2, tw // 2), "422": (th, tw // 2), "444": (th, tw)
+    }[subsampling]
+    assert u.shape[1:] == exp_c
+    # limited-range bounds at this depth
+    s = 1 << (bits - 8)
+    assert y.min() >= 16 * s and y.max() <= 235 * s
+    assert u.min() >= 16 * s and u.max() <= 240 * s
+
+    back = np.asarray(F.yuv_planes_to_rgb(
+        y, u, v, matrix="709", range_full=False, bits=bits
+    ))
+    # smooth content: error ~ quantization step + chroma subsample blur
+    step = 1.0 / (219 * s)
+    tol = max(4.0 * step, 0.02 if subsampling != "444" else 4.0 * step)
+    assert np.abs(back - rgb).mean() < tol
+
+
+def test_higher_depth_is_more_faithful():
+    """10-bit restore must quantize measurably finer than 8-bit (the
+    reason full-format restore matters for film sources)."""
+    rgb = _smooth(t=1, h=96, w=96, seed=3)
+    outs = {}
+    for bits in (8, 16):
+        y, u, v = F.restore_format_yuv(
+            rgb, bits=bits, subsampling="444", dither="none"
+        )
+        back = np.asarray(F.yuv_planes_to_rgb(y, u, v, bits=bits))
+        outs[bits] = np.abs(back - rgb).mean()
+    assert outs[16] < outs[8] / 16
+
+
+def test_u16_dither_preserves_mean():
+    """The 16-bit-container FS dither diffuses quantization error (mean
+    preserved well below the rounding step) at 10-bit code scale."""
+    rng = np.random.default_rng(0)
+    x = (rng.random((1, 64, 64), np.float32) * 0.002 + 0.5) * 876 + 64
+    out = F._fs_dither(x, 64.0, 940.0, bits=10)
+    assert out.dtype == np.uint16
+    assert abs(float(out.mean()) - float(x.mean())) < 0.05

@@ -2,6 +2,7 @@
 import cv2
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from havc_tpu.ops import colorspace as cs
 from havc_tpu.ops import equalize as eq
@@ -207,3 +208,89 @@ class TestLut3d:
         img = np.random.default_rng(18).random((3, 3, 3), dtype=np.float32)
         out = np.asarray(lut3d.apply_lut3d(img, lut))
         assert np.abs(out - img).max() < 1e-5
+
+
+class TestMSRCP:
+    """MSRCP + the patched retinex wrapper (vsretinex.py:26-95)."""
+
+    def _img(self, t=1, seed=0, lo=0.25, hi=0.75):
+        rng = np.random.default_rng(seed)
+        yy = np.linspace(lo, hi, 48)[None, :, None, None]
+        col = rng.random((t, 1, 48, 3)).astype(np.float32) * 0.2
+        return np.clip(yy + col, 0.01, 1).astype(np.float32)
+
+    def test_msrcp_preserves_chromaticity(self):
+        """Output channel ratios == input channel ratios per pixel (the CP
+        in MSRCP): R/G and B/G are invariant under a scalar gain."""
+        img = self._img()
+        out = np.asarray(rx.msrcp_rgb(jnp.asarray(img)))
+        # exclude pixels crushed by the balance stretch (lower-tail -> 0)
+        # or at the range ceiling — no finite scalar gain exists there
+        mask = (
+            (out.max(axis=-1) < 0.999)
+            & (out.min(axis=-1) > 0.01)
+            & (img.min(axis=-1) > 0.02)
+        )
+        r_in = img[..., 0] / np.maximum(img[..., 1], 1e-4)
+        r_out = out[..., 0] / np.maximum(out[..., 1], 1e-4)
+        err = np.abs(r_in - r_out)[mask]
+        assert err.max() < 0.02
+
+    def test_msrcp_gain_capped_at_range_ceiling(self):
+        out = np.asarray(rx.msrcp_rgb(jnp.asarray(self._img())))
+        assert out.max() <= 1.0 + 1e-6
+        assert out.min() >= 0.0
+
+    def test_slow_path_matches_cv2_reference(self):
+        """msr_yuv vs a numpy/cv2 transcription of vs_retinex_slow's
+        frame_retinex_MSR (vsretinex.py:108-152), sharing the box-blur
+        Gaussian approximation on both sides so the test isolates the
+        MSR + min-max normalize + Y-only recombination semantics."""
+        import cv2
+
+        img = self._img()[0]
+        u8 = (img * 255).round().astype(np.uint8)
+        yuv = cv2.cvtColor(u8, cv2.COLOR_RGB2YUV)
+        y_img = yuv[..., 0].astype(np.float64) / 255.0
+        eps = 1.0 / 255.0
+        acc = np.zeros_like(y_img)
+        for s in (25.0, 80.0, 250.0):
+            blurred = np.asarray(
+                rx.gaussian_blur_box(jnp.asarray(y_img, jnp.float32), s)
+            )
+            acc += np.log(y_img + eps) - np.log(blurred + eps)
+        msr_ref = acc / 3
+        y_min, y_max = msr_ref.min(), msr_ref.max()
+        y_norm = (msr_ref - y_min) / (y_max - y_min) * 255.0
+        yuv_out = yuv.copy()
+        yuv_out[..., 0] = np.clip(y_norm, 0, 255).astype(np.uint8)
+        ref = cv2.cvtColor(yuv_out, cv2.COLOR_YUV2RGB).astype(np.float32) / 255
+
+        got = np.asarray(rx.msr_yuv(jnp.asarray(img)))
+        # uint8 quantization in the cv2 path dominates the residual
+        assert np.abs(ref - got).mean() < 0.02
+
+    def test_retinex_filter_gates_dark_frames(self):
+        """Frames outside [luma_dark, luma_bright] pass through untouched
+        (filter_retinex, vsretinex.py:66-88)."""
+        dark = self._img(lo=0.02, hi=0.08, seed=1) * 0.3
+        normal = self._img(seed=2)
+        frames = np.concatenate([dark, normal])
+        out = np.asarray(rx.retinex_filter(
+            jnp.asarray(frames), luma_dark=0.20, luma_bright=0.80,
+            range_tv=False,
+        ))
+        np.testing.assert_allclose(out[0], frames[0], atol=1e-6)
+        assert np.abs(out[1] - frames[1]).max() > 0.01
+
+    def test_retinex_filter_blend_ramp(self):
+        """blend=True: mid-dark frames mix with the original
+        (image_luma_blend weight ramp)."""
+        img = self._img(lo=0.15, hi=0.25, seed=3)  # f_luma ~0.30 < 0.40
+        full = np.asarray(rx.retinex_filter(
+            jnp.asarray(img), range_tv=False, blend=False))
+        blended = np.asarray(rx.retinex_filter(
+            jnp.asarray(img), range_tv=False, blend=True))
+        d_full = np.abs(full - img).mean()
+        d_blend = np.abs(blended - img).mean()
+        assert 0 < d_blend < d_full
