@@ -56,7 +56,7 @@ __all__ = ["DDColor", "DDCOLOR_CONFIGS", "colorize", "init_params",
 DDCOLOR_CONFIGS = {
     # test/dev scale (not a published geometry)
     "micro": dict(encoder="micro", dim=64, num_queries=16, num_blocks=3,
-                  unet_out=(64, 64, 32), heads=4, ffn_dim=128),
+                  unet_out=(64, 64, 32), heads=8, ffn_dim=128),
     "tiny": dict(encoder="tiny", dim=256, num_queries=100, num_blocks=9,
                  unet_out=(512, 512, 256)),
     "large": dict(encoder="large", dim=256, num_queries=100, num_blocks=9,
@@ -254,19 +254,26 @@ def colorize(
 ) -> jnp.ndarray:
     """Driver: RGB (B,H,W,3) [0,1] -> colorized RGB.
 
-    Upstream pipeline semantics: the model input is the gray RGB rendering
-    of LAB (L, 0, 0) — lab_to_rgb of the luma with zero chroma (NOT L/100
-    replicated) — at ``input_size`` (the reference passes trunc(rf/2)*32);
-    predicted raw ab is resized back and joined with the original L.
+    Pipeline semantics per the upstream DDColor
+    ``ImageColorizationPipeline`` (which the vsddcolor wheel transcribes,
+    vsmodels.py:352-360): the RGB image is resized FIRST (plain bilinear,
+    no antialias — F.interpolate semantics), then L is extracted from the
+    RESIZED image and rendered as the gray RGB of LAB (L, 0, 0); the
+    model's raw ab output is bilinear-resized back (no antialias) and
+    joined with the ORIGINAL-resolution L.
     """
     h, w = rgb.shape[-3], rgb.shape[-2]
-    lab = rgb_to_lab(rgb)
-    l_orig = lab[..., 0:1]
-    gray = lab_to_rgb(
-        jnp.concatenate([l_orig, jnp.zeros_like(lab[..., 1:3])], axis=-1)
+    l_orig = rgb_to_lab(rgb)[..., 0:1]
+    rgb_rs = jnp.clip(
+        resize(rgb, input_size, input_size, "bilinear", antialias=False),
+        0.0, 1.0,
     )
-    gray_rs = jnp.clip(resize(gray, input_size, input_size, "bilinear"), 0.0, 1.0)
-    ab = model.apply(params, gray_rs)
-    ab_up = resize(ab, h, w, "bilinear")
+    l_rs = rgb_to_lab(rgb_rs)[..., 0:1]
+    gray = lab_to_rgb(
+        jnp.concatenate([l_rs, jnp.zeros_like(l_rs), jnp.zeros_like(l_rs)],
+                        axis=-1)
+    )
+    ab = model.apply(params, gray)
+    ab_up = resize(ab, h, w, "bilinear", antialias=False)
     out = lab_to_rgb(jnp.concatenate([l_orig, ab_up], axis=-1))
     return jnp.clip(out, 0.0, 1.0)

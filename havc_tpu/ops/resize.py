@@ -98,16 +98,19 @@ KERNELS = {
 
 @functools.lru_cache(maxsize=512)
 def resize_kernel_matrix(
-    in_size: int, out_size: int, kernel: str = "spline64"
+    in_size: int, out_size: int, kernel: str = "spline64",
+    antialias: bool = True,
 ) -> np.ndarray:
     """Build the (out_size, in_size) resampling weight matrix, float32.
 
     Uses the center-aligned mapping ``src = (dst + 0.5) * in/out - 0.5`` and
-    stretches the kernel by the scale factor when downscaling.
+    stretches the kernel by the scale factor when downscaling
+    (``antialias=False`` skips the stretch — torch
+    ``F.interpolate(antialias=False)`` / cv2 INTER_LINEAR semantics).
     """
     fn, support = KERNELS[kernel]
     scale = in_size / out_size
-    stretch = max(scale, 1.0)
+    stretch = max(scale, 1.0) if antialias else 1.0
     sup = support * stretch
 
     dst = np.arange(out_size, dtype=np.float64)
@@ -132,12 +135,13 @@ def resize(
     height: int,
     width: int,
     kernel: str = "spline64",
+    antialias: bool = True,
 ) -> jnp.ndarray:
     """Resize ``(..., H, W, C)`` image(s) to ``(..., height, width, C)``.
 
     Two MXU matmuls (vertical then horizontal pass).  Weight matrices are
-    computed host-side once per (size, kernel) pair and cached; the jnp
-    constants are folded into the jitted program.
+    computed host-side once per (size, kernel, antialias) triple and
+    cached; the jnp constants are folded into the jitted program.
     """
     h_in, w_in = img.shape[-3], img.shape[-2]
     # HIGHEST keeps f32 accumulation on the MXU; default precision lets XLA
@@ -145,13 +149,13 @@ def resize(
     prec = jax.lax.Precision.HIGHEST
     out = img
     if h_in != height:
-        wh = jnp.asarray(resize_kernel_matrix(h_in, height, kernel))
+        wh = jnp.asarray(resize_kernel_matrix(h_in, height, kernel, antialias))
         out = jnp.einsum(
             "oh,...hwc->...owc", wh, out,
             preferred_element_type=jnp.float32, precision=prec,
         ).astype(img.dtype)
     if w_in != width:
-        ww = jnp.asarray(resize_kernel_matrix(w_in, width, kernel))
+        ww = jnp.asarray(resize_kernel_matrix(w_in, width, kernel, antialias))
         out = jnp.einsum(
             "pw,...hwc->...hpc", ww, out,
             preferred_element_type=jnp.float32, precision=prec,
