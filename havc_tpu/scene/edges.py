@@ -61,6 +61,15 @@ def kirsch_edges(gray: jnp.ndarray, thresh: float = 0.25) -> jnp.ndarray:
     return (mag > thresh).astype(gray.dtype)
 
 
+def _to_gray709_limited(rgb: jnp.ndarray) -> jnp.ndarray:
+    """The reference's GRAY8 conversion (vsscdetect_edge.py:169:
+    resize.Bicubic(format=GRAY8, matrix_s='709')): BT.709 luma mapped to
+    LIMITED range [16/255, 235/255] — the range the uint8 statistics and
+    luma gates are computed in."""
+    y = (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2])
+    return y * (219.0 / 255.0) + 16.0 / 255.0
+
+
 _SOBEL_X = np.array([[[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]], np.float32)
 _SOBEL_Y = np.array([[[-1, -2, -1], [0, 0, 0], [1, 2, 1]]], np.float32)
 
@@ -100,14 +109,27 @@ def _gaussian_blur_small(x: jnp.ndarray, sigma: float = 1.2) -> jnp.ndarray:
 
 
 def retinex_edgemask_draft(gray: jnp.ndarray, sigma: float = 1.2) -> jnp.ndarray:
-    """Draft retinex edge mask (vsscdetect_edge.retinex_edgemask:120,
-    draft=True): sqrt gamma boost -> TCanny(mode=1) gradient magnitude,
-    summed with the Kirsch compass response, clipped to [0,1]."""
+    """The edge mask the LIVE edge detector uses
+    (vsscdetect_edge.retinex_edgemask:120, called with draft=True at
+    :177): sqrt gamma boost -> TCanny(mode=1)-role Gaussian-blurred
+    gradient magnitude, summed with the Kirsch compass response and
+    clipped.
+
+    VS uint8 semantics preserved: std.Convolution divides by the
+    coefficient sum, which is ZERO for the Kirsch kernels -> divisor 1,
+    i.e. the response is UNNORMALIZED and saturates at the code ceiling
+    (255 in uint8 == 1.0 here) — the mask is near-binary at modest edges.
+    The TCanny magnitude likewise saturates instead of being rescaled.
+    (The non-draft MSRCP mask exists in the reference but is dead code on
+    the live path.)"""
     enhanced = jnp.sqrt(jnp.clip(gray, 0.0, 1.0))
-    tcanny = sobel_magnitude(_gaussian_blur_small(enhanced, sigma))
+    tcanny = jnp.hypot(
+        _conv2d(_gaussian_blur_small(enhanced, sigma), _SOBEL_X)[:, 0],
+        _conv2d(_gaussian_blur_small(enhanced, sigma), _SOBEL_Y)[:, 0],
+    )
     resp = _conv2d(gray, _KIRSCH)  # (T,8,H,W), saturate=False -> |resp|
-    kirsch_mag = jnp.max(jnp.abs(resp), axis=1) / 15.0
-    return jnp.clip(kirsch_mag + tcanny, 0.0, 1.0)
+    kirsch_mag = jnp.clip(jnp.max(jnp.abs(resp), axis=1), 0.0, 1.0)
+    return jnp.clip(kirsch_mag + jnp.clip(tcanny, 0.0, 1.0), 0.0, 1.0)
 
 
 @jax.jit
@@ -124,13 +146,14 @@ def _edge_kernel(gray_small: jnp.ndarray, offset: int = 2):
 
 
 def edge_stats(frames: np.ndarray, offset: int = 2):
-    """Device phase: downscale luma, draft retinex edge mask, the
-    reference's edge_diff (masked) and ssim_diff (plain) statistics."""
+    """Device phase: downscale 709-limited gray (the reference's GRAY8
+    working space), draft retinex edge mask, the reference's edge_diff
+    (masked) and ssim_diff (plain) statistics."""
     x = jnp.asarray(frames)
-    gray = luma(x)
+    gray = _to_gray709_limited(x)
     h, w = gray.shape[-2], gray.shape[-1]
     nh, nw = _work_size(h, w)
-    gray_small = resize(gray[..., None], nh, nw, "bicubic")[..., 0]
+    gray_small = resize(gray[..., None], nh, nw, "spline36")[..., 0]
     mask, edge_diff, ssim_diff, lumas = _edge_kernel(gray_small, offset)
     return (
         np.asarray(gray_small), np.asarray(mask), np.asarray(edge_diff),
@@ -175,12 +198,14 @@ def scene_detect_edges(
 
     grays, mask, edge_diff, ssim_diff, lumas = edge_stats(frames, sc_diff_offset)
 
-    # mandatory_ref_1: the classic luma detector at threshold 0.10
-    # (vsscdetect_edge.py:170: misc.SCDetect(threshold=0.10))
-    from .detect import scene_detect as _luma_detect
-
-    luma_flags = _luma_detect(np.asarray(frames), threshold=0.10)
-    mandatory_1 = luma_flags.sc_prev.astype(bool)
+    # mandatory_ref_1: raw misc.SCDetect(threshold=0.10) on the same
+    # downscaled gray clip (vsscdetect_edge.py:170) — normalized mean
+    # absolute luma difference vs the PREVIOUS frame, no extra gates
+    prev_diff = np.abs(
+        grays - grays[np.clip(np.arange(T) - 1, 0, T - 1)]
+    ).mean(axis=(-2, -1))
+    prev_diff[0] = 0.0
+    mandatory_1 = prev_diff > 0.10
 
     sc = np.zeros(T, dtype=np.int8)
     reason = np.zeros(T, dtype=np.int8)

@@ -60,8 +60,13 @@ def _lab2rgb(lab):
 
 
 def _reference_driver(net, rgb_u8, input_size):
-    """vsddcolor / upstream ImageColorizationPipeline flow."""
-    rgb_f = rgb_u8.astype(np.float32) / 255.0
+    """vsddcolor / upstream ImageColorizationPipeline flow.  Accepts uint8
+    or float [0,1] input (float used by the merge-config gate to avoid
+    re-quantization noise)."""
+    rgb_f = (
+        rgb_u8.astype(np.float32) / 255.0
+        if rgb_u8.dtype == np.uint8 else rgb_u8.astype(np.float32)
+    )
     h, w = rgb_f.shape[:2]
     orig_l = _rgb2lab(rgb_f)[..., 0:1]
     x = torch.from_numpy(rgb_f.transpose(2, 0, 1).copy())[None]
