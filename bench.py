@@ -148,6 +148,34 @@ def run_child():
 
     extra = {}
     if on_tpu:
+        # secondary metric (fail-soft): the PUBLIC api.HAVC_main itself at
+        # 1080p — scene detection, gated colorize, stabilizer chain, post —
+        # so the fused-program number above and the API number are both on
+        # record (round-2 verdict: "the API is as fast as the bench" was
+        # unproven)
+        try:
+            from havc_tpu import api
+            from havc_tpu.clip import from_frames
+
+            T_m = 48
+            rng3 = np.random.default_rng(2)
+            base = rng3.random((H, W, 1), dtype=np.float32)
+            seq = np.clip(
+                base[None] * (0.45 + 0.4 * np.sin(
+                    np.arange(T_m, dtype=np.float32) / 6.0
+                ))[:, None, None, None] + 0.08,
+                0, 1,
+            ).repeat(3, axis=-1).astype(np.float32)
+            clip = from_frames(seq)
+            # warm (compile) on a short prefix, then time the full clip
+            api.HAVC_main(clip[:8], Preset="medium", ScThreshold=0.10)
+            t0 = time.perf_counter()
+            api.HAVC_main(clip, Preset="medium", ScThreshold=0.10)
+            dt = time.perf_counter() - t0
+            extra["havc_main_fps_1080p"] = round(T_m / dt, 2)
+        except Exception as e:  # noqa: BLE001 - secondary metric only
+            extra["havc_main_error"] = f"{type(e).__name__}: {e}"[:160]
+
         # secondary metric (fail-soft): ColorMNet exemplar engine at full
         # geometry, device-resident steady state
         try:

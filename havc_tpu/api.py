@@ -144,69 +144,24 @@ def HAVC_colorizer(
 
     sc_prev = clip.sc.sc_prev if (scenechange and clip.sc is not None) else None
 
-    if sc_prev is None:
-        # FUSED device pipeline (round-2 perf fix for the round-1 "host
-        # round-trip per stage" weakness): when no scene-change gating is
-        # active every frame is colorized, so work-resize -> both engines
-        # -> combine -> per-engine tweak -> full-res chroma restore runs as
-        # ONE jitted program per batch — frames cross host<->device once.
-        return _colorize_fused(
-            clip, method, merge_weight, do_model, do_rf, do_sat, do_hue,
-            dd_model, dd_rf, dd_sat, dd_hue, ddtweak, ddtweak_p,
-            cmc_p, lmm_p, alm_p, crt_p, cmb_sw, frame_size, batch_size,
-        )
-
-    work = _batched(
-        clip,
-        lambda x: jnp.clip(resize(x, frame_size, frame_size, "spline64"), 0.0, 1.0),
-        batch_size,
+    # FUSED device pipeline (round-2 perf fix for the round-1 "host
+    # round-trip per stage" weakness): work-resize -> both engines ->
+    # combine -> per-engine tweak -> full-res chroma restore runs as ONE
+    # jitted program per batch — frames cross host<->device once.  With
+    # scene gating the same program runs over the GATHERED scene-change
+    # frames only (round-3: the gated path previously materialized to
+    # numpy between every stage and ran engines on all frames);
+    # non-reference frames pass through unchanged (vs_sc_* f[0].copy()).
+    sc_idx = (
+        None if sc_prev is None
+        else np.nonzero(np.asarray(sc_prev).astype(bool))[0]
     )
-
-    clipa_frames = clipb_frames = None
-    if method != 1:
-        do_fn, do_params = engines.make_deoldify_fn(do_model, do_rf)
-        clipa_frames = engines.colorize_gated(
-            work.frames, sc_prev, do_fn, batch_size,
-            jit_key=("deoldify", do_model, do_rf, frame_size, batch_size),
-            params=do_params,
-        )
-    if method != 0:
-        dd_fn, dd_params = engines.make_ddcolor_fn(
-            dd_model, dd_rf, tweaks_flags=ddtweak, tweaks=ddtweak_p
-        )
-        clipb_frames = engines.colorize_gated(
-            work.frames, sc_prev, dd_fn, batch_size,
-            jit_key=("ddcolor", dd_model, dd_rf, tuple(ddtweak),
-                     str(ddtweak_p), frame_size, batch_size),
-            params=dd_params,
-        )
-
-    if method in (0, 1):
-        combined = clipa_frames if method == 0 else clipb_frames
-        # per-engine sat/hue tweak still applies (mcomb.py:161-169)
-        sat = do_sat if method == 0 else dd_sat
-        hue = do_hue if method == 0 else dd_hue
-        if sat != 1 or hue != 0:
-            tw = cached_jit(
-                ("single_tweak", hue, sat),
-                lambda: lambda x: chroma_ops.tweak(x, hue=hue, sat=sat),
-            )
-            combined = np.asarray(tw(jnp.asarray(combined)))
-    else:
-        fn = cached_jit(
-            ("combine", method, do_sat, dd_sat, do_hue, dd_hue, merge_weight,
-             tuple(cmc_p), tuple(lmm_p), tuple(alm_p), tuple(crt_p), cmb_sw),
-            lambda: lambda a, b: merge_ops.combine_models(
-                a, b, method=method, sat=(do_sat, dd_sat), hue=(do_hue, dd_hue),
-                b_weight=merge_weight, cmc_p=cmc_p, lmm_p=lmm_p, alm_p=alm_p,
-                crt_p=crt_p, invert_clips=cmb_sw,
-            ),
-        )
-        combined = np.asarray(fn(jnp.asarray(clipa_frames), jnp.asarray(clipb_frames)))
-
-    colored = work.with_frames(combined)
-    restored = _chroma_resize_clip(clip_orig, colored, batch_size)
-    return restored
+    return _colorize_fused(
+        clip, method, merge_weight, do_model, do_rf, do_sat, do_hue,
+        dd_model, dd_rf, dd_sat, dd_hue, ddtweak, ddtweak_p,
+        cmc_p, lmm_p, alm_p, crt_p, cmb_sw, frame_size, batch_size,
+        sc_idx=sc_idx,
+    )
 
 
 def _colorize_fused(
@@ -215,9 +170,11 @@ def _colorize_fused(
     dd_model: int, dd_rf: int, dd_sat: float, dd_hue: float,
     ddtweak, ddtweak_p, cmc_p, lmm_p, alm_p, crt_p, cmb_sw: bool,
     frame_size: int, batch_size: int,
+    sc_idx: Optional[np.ndarray] = None,
 ) -> Clip:
     """HAVC_colorizer body as one jitted program per batch (no per-stage
-    host materialization)."""
+    host materialization).  ``sc_idx`` selects the scene-change frames to
+    colorize (gather/compute/scatter); others pass through."""
     do_fn = dd_fn = None
     do_params = dd_params = None
     if method != 1:
@@ -257,17 +214,27 @@ def _colorize_fused(
         lambda: stage,
     )
     params = (do_params, dd_params)
-    T = clip.num_frames
-    outs = []
-    for s in range(0, T, batch_size):
-        chunk = jnp.asarray(np.asarray(clip.frames[s : s + batch_size]))
-        n = chunk.shape[0]
-        if n < batch_size:
-            chunk = jnp.concatenate(
-                [chunk, jnp.repeat(chunk[-1:], batch_size - n, 0)]
-            )
-        outs.append(np.asarray(fn(params, chunk))[:n])
-    return clip.with_frames(np.concatenate(outs))
+    all_frames = np.asarray(clip.frames)
+
+    def run_over(arr):
+        outs = []
+        for s in range(0, len(arr), batch_size):
+            chunk = jnp.asarray(arr[s : s + batch_size])
+            n = chunk.shape[0]
+            if n < batch_size:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], batch_size - n, 0)]
+                )
+            outs.append(np.asarray(fn(params, chunk))[:n])
+        return np.concatenate(outs) if outs else arr
+
+    if sc_idx is None:
+        return clip.with_frames(run_over(all_frames))
+    if len(sc_idx) == 0:
+        return clip
+    out = all_frames.copy()
+    out[sc_idx] = run_over(all_frames[sc_idx])
+    return clip.with_frames(out)
 
 
 def _chroma_resize_clip(hires: Clip, lowres: Clip, batch_size: int = 8) -> Clip:
@@ -453,24 +420,68 @@ def HAVC_merge(
     return clipa.with_frames(np.concatenate(outs))
 
 
+def bw_tune_frames(
+    x: jnp.ndarray,
+    tn_id: int,
+    method: int = 0,
+    luma_blend: bool = True,
+    range_tv: bool = True,
+) -> jnp.ndarray:
+    """Pure per-frame core of HAVC_bw_tune (__init__.py:1293-1337):
+    strength tables per tune level, rgb_balance with the per-channel
+    warm-up factors (step #1, skipped for ScaleAbs/Retinex), histogram
+    equalization (step #2), inside the reference's full->limited range
+    bracket (std.Levels AND a resize range conversion — the codes are
+    compressed TWICE on entry and expanded twice on exit, reproduced
+    exactly)."""
+    b_strength = [0.0, 0.30, 0.40, 0.50]
+    w_strength = [0.0, 0.30, 0.40, 0.50]
+    r_factor = [1.0, 0.96, 0.94, 0.92]
+    g_factor = [1.0, 1.03, 1.05, 1.08]
+    b_factor = [1.0, 1.0, 1.0, 1.0]
+    method = min(5, method)
+    if method == 5:
+        b_strength = [0.0, 0.98, 0.99, 1.0]
+    weight3 = float(tn_id) if method == 4 else w_strength[tn_id]
+
+    def lim(v):
+        return v * (219.0 / 255.0) + 16.0 / 255.0
+
+    def unlim(v):
+        return (v - 16.0 / 255.0) * (255.0 / 219.0)
+
+    if range_tv:
+        x = lim(lim(x))
+    if method < 4:
+        x = equalize.rgb_balance(
+            x, strength=w_strength[tn_id],
+            rgb_factor=(r_factor[tn_id], g_factor[tn_id], b_factor[tn_id]),
+        )
+    x = equalize.rgb_equalizer(
+        x, method=method, strength=b_strength[tn_id], weight3=weight3,
+        luma_blend_on=luma_blend,
+    )
+    if range_tv:
+        x = jnp.clip(unlim(unlim(x)), 0.0, 1.0)
+    return x
+
+
 def HAVC_bw_tune(
     clip: Clip,
     bw_tune: str = "none",
     method: int = 0,
     luma_blend: bool = True,
+    range_tv: bool = True,
     batch_size: int = 8,
 ) -> Clip:
-    """B&W contrast/luminosity restoration (HAVC_bw_tune, __init__.py:1266;
-    strength table from vs_auto_levels, havc_utils.py:812-814)."""
+    """B&W contrast/luminosity restoration (HAVC_bw_tune,
+    __init__.py:1266-1339)."""
     tn_id = presets.get_tune_id(bw_tune)
     if tn_id == 0:
         return clip
-    strength = [0.0, 0.98, 0.99, 1.0][tn_id]
     return _batched(
         clip,
-        lambda x: equalize.rgb_equalizer(
-            x, method=method, strength=strength, luma_blend_on=luma_blend
-        ),
+        lambda x: bw_tune_frames(x, tn_id, method, luma_blend, range_tv),
         batch_size,
     )
 
@@ -480,7 +491,9 @@ def HAVC_auto_levels(
     batch_size: int = 8,
 ) -> Clip:
     """vs_auto_levels analog (havc_utils.py:785-833)."""
-    return HAVC_bw_tune(clip, mode, method, luma_blend, batch_size)
+    return HAVC_bw_tune(
+        clip, mode, method, luma_blend, batch_size=batch_size
+    )
 
 
 def HAVC_retinex(

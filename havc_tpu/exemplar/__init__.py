@@ -652,7 +652,7 @@ def deepex_propagate(
 
 
 class RemasterEngine:
-    def __init__(self, seed: int = 0, frame_size: int = 320):
+    def __init__(self, seed: int = 0, frame_size: int = 320, dtype=None):
         from ..engines import registry
         from ..models import remaster as rm
 
@@ -660,9 +660,23 @@ class RemasterEngine:
         # mindim-320 frames, remaster_render)
         self.size = frame_size
         self.model = rm.NetworkC()
+        # bf16 by default on TPU: the 3D conv trunk is MXU-bound and the
+        # sigmoid-ab output tolerates bf16 like the other engines
+        if dtype is None:
+            dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        self.dtype = dtype
+        def _cast(t):
+            if self.dtype == jnp.float32:
+                return t
+            return jax.tree.map(
+                lambda x: x.astype(self.dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                t,
+            )
+
         tree = registry.exemplar_tree("remaster")
         if tree is not None:
-            self.params = tree
+            self.params = _cast(tree)
             return
         if registry.weights_dir is not None:
             warnings.warn(
@@ -670,7 +684,7 @@ class RemasterEngine:
                 "checkpoint (remaster.npz) was found — RANDOM init"
             )
         registry.random_init_used = True
-        self.params = rm.init_params(seed, size=64, t=2, n_refs=2)
+        self.params = _cast(rm.init_params(seed, size=64, t=2, n_refs=2))
 
 
 def remaster_propagate(
@@ -703,16 +717,21 @@ def remaster_propagate(
     R = ref_frames.shape[0]
     S = min(ref_buffer_size, R)
 
+    dtype = getattr(engine, "dtype", jnp.float32)
     enc = cached_jit(
-        ("remaster_enc", H, W, S),
-        lambda: lambda p, r: engine.model.apply(p, r, method="encode_refs"),
-    )
-    GROUP = 4  # windows batched per dispatch when they share a ref window
-    fwd = cached_jit(
-        ("remaster_fwd", H, W, length, S, GROUP),
-        lambda: lambda p, l, rf, rf2: engine.model.apply(
-            p, l, rf, rf2, method="colorize_with_refs"
+        ("remaster_enc", H, W, S, str(dtype)),
+        lambda: lambda p, r: engine.model.apply(
+            p, r.astype(dtype), method="encode_refs"
         ),
+    )
+    # windows batched per dispatch when they share a ref window; larger
+    # groups keep the MXU fed on TPU (round-3 perf pass)
+    GROUP = 8 if jax.default_backend() == "tpu" else 4
+    fwd = cached_jit(
+        ("remaster_fwd", H, W, length, S, GROUP, str(dtype)),
+        lambda: lambda p, l, rf, rf2: engine.model.apply(
+            p, l.astype(dtype), rf, rf2, method="colorize_with_refs"
+        ).astype(jnp.float32),
     )
 
     half_idx = max(round(S * (1.0 - future_frame_weight)) - 1, 0)

@@ -40,17 +40,20 @@ from .ops import temporal as temporal_ops
 from .ops.resize import resize
 from .utils import cached_jit
 
-__all__ = ["HAVC_main_streaming"]
+__all__ = ["HAVC_main_streaming", "HAVC_restore_video_streaming"]
 
 
 def _build_frame_stage(
     method: int, mweight: float, do_model: int, dd_model: int,
     deoldify_rf: int, ddcolor_rf: int, dd_tweak, hue_range: str,
     hue_range2: str, chroma_adjust2: str, frame_size: int,
+    bw_tune_id: int = 0, bw_method: int = 0,
 ):
-    """One jitted function: work resize -> engines -> combine -> per-frame
-    post chain; returns work-res colorized frames (temporal + restore
-    happen downstream)."""
+    """One jitted function: (optional BWTune pre-tune at full res) -> work
+    resize -> engines -> combine -> per-frame post chain; returns
+    (tuned full-res frames, work-res colorized frames) — temporal +
+    restore happen downstream.  Same knob resolution as
+    api.HAVC_main_presets/HAVC_main_colorizer."""
     do_fn = dd_fn = None
     do_params = dd_params = None
     if method != 1:
@@ -63,6 +66,10 @@ def _build_frame_stage(
 
     def stage(params, frames):
         p_do, p_dd = params
+        if bw_tune_id > 0:
+            from .api import bw_tune_frames
+
+            frames = bw_tune_frames(frames, bw_tune_id, bw_method)
         work = jnp.clip(resize(frames, frame_size, frame_size, "spline64"), 0.0, 1.0)
         if method == 0:
             combined = do_fn(p_do, work)
@@ -81,11 +88,11 @@ def _build_frame_stage(
         cmap = (chroma_adjust2 or "none").lower()
         if cmap not in ("none", ""):
             x = colormap_filter(x, cmap)
-        return x
+        return frames, x
 
     key = ("stream_stage", method, mweight, do_model, dd_model, deoldify_rf,
            ddcolor_rf, tuple(dd_tweak), hue_range, hue_range2, chroma_adjust2,
-           frame_size)
+           frame_size, bw_tune_id, bw_method)
     return cached_jit(key, lambda: stage), (do_params, dd_params)
 
 
@@ -99,8 +106,12 @@ def HAVC_main_streaming(
     ColorFix: str = "violet/red",
     ColorTune: str = "light",
     ColorMap: str = "none",
+    BWTune: str = "none",
+    bw_method: int = 0,
+    LUT: Optional[int] = None,
+    EnableDeflicker: bool = True,
     enable_stabilizer: bool = True,
-    stab_nframes: int = 5,
+    stab_p=(5, "A", 1, 15, 0.2, 0.15),
     batch_size: int = 8,
     chunk_size: int = 32,
     count: Optional[int] = None,
@@ -108,9 +119,11 @@ def HAVC_main_streaming(
 ) -> int:
     """Classic HAVC_main as a bounded-memory stream; returns frames written.
 
-    Parameter semantics match HAVC_main (api.py) / the reference
-    HAVC_main_presets classic path.  Exemplar/FrameInterp modes are not
-    streamable through this entry (use the scan-carry API instead).
+    Knob resolution is SHARED with api.HAVC_main_presets (same presets
+    tables, same bw_tune_frames pre-tune, same stabilizer parameter pack,
+    the same HAVC_TimeCube LUT and reduce_flicker deflicker at full
+    resolution after the restore).  Exemplar/FrameInterp modes stream via
+    the scan-carry entry (HAVC_restore_video_streaming) instead.
     """
     import cv2
 
@@ -127,6 +140,7 @@ def HAVC_main_streaming(
     dd_tweak, hue_range, hue_range2, chroma_adjust, chroma_adjust2 = (
         presets.get_color_tune(ColorTune, ColorFix, ColorMap, dd_model)
     )
+    bw_tune_id = presets.get_tune_id(BWTune)
 
     cap = cv2.VideoCapture(path_in)
     fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
@@ -140,31 +154,68 @@ def HAVC_main_streaming(
     stage, params = _build_frame_stage(
         method, mweight, do_model, dd_model, deoldify_rf, ddcolor_rf,
         dd_tweak, hue_range, hue_range2, chroma_adjust2, frame_size,
+        bw_tune_id=bw_tune_id, bw_method=bw_method,
     )
 
-    nf = min(max(int(stab_nframes), 3), 15)
+    # stab_p pack (HAVC_stabilizer semantics): (nframes, 'A'|'W', sat,
+    # tht, weight-back, ...)
+    stab_nframes = int(stab_p[0])
+    stab_weighted = str(stab_p[1]).upper().startswith("W")
+    stab_sat = float(stab_p[2])
+    stab_tht = float(stab_p[3])
+    stab_back = float(stab_p[4])
+    nf = min(max(stab_nframes, 3), 15)
     nf = nf + 1 if nf % 2 == 0 else nf  # chroma_stabilizer rounds up to odd
-    halo = ((nf - 1) // 2 + 1) if enable_stabilizer else 0  # +1: deflicker
+    # halos: temporal chroma window at work res, plus 1 frame of full-res
+    # deflicker context on each side (context frames themselves need their
+    # chroma windows complete, so the buffers retain the sum)
+    halo_t = ((nf - 1) // 2) if enable_stabilizer else 0
+    halo_d = 1 if EnableDeflicker else 0
+    halo = halo_t + halo_d
 
     def temporal_chunk(x):
-        # stab_p defaults (5, 'A', 1, 15, 0.2, 0.15): arithmetic window,
-        # sat=1, tht=15, then 0.2 blend back to the unstabilized frames
-        # (HAVC_stabilizer, api.py)
         s = temporal_ops.chroma_stabilizer(
-            x, nframes=stab_nframes, weighted=False, sat=1.0, tht=15
+            x, nframes=stab_nframes, weighted=stab_weighted, sat=stab_sat,
+            tht=stab_tht,
         )
-        s = x * 0.2 + s * 0.8
-        return temporal_ops.reduce_flicker(s)
+        return x * stab_back + s * (1.0 - stab_back)
 
     temporal_fn = cached_jit(
-        ("stream_temporal", stab_nframes, chunk_size, halo),
+        ("stream_temporal", tuple(stab_p[:5]), chunk_size, halo),
         lambda: temporal_chunk,
     )
-    restore_fn = cached_jit(
-        ("stream_restore", h, w, frame_size),
-        lambda: lambda hi, lo: recover_clip_luma(
+
+    if LUT is not None:
+        from .ops import lut3d
+
+        table = jnp.asarray(lut3d.make_look_lut(LUT))
+        tweaks = lut3d.LUT_TWEAKS.get(LUT)
+    else:
+        table = tweaks = None
+
+    def restore_chunk(hi, lo):
+        """Full-res tail: luma-restore -> LUT -> deflicker (api order:
+        stabilizer -> HAVC_TimeCube -> reduce_flicker)."""
+        out = recover_clip_luma(
             hi, jnp.clip(resize(lo, h, w, "spline64"), 0.0, 1.0)
-        ),
+        )
+        if table is not None:
+            from .ops import lut3d
+
+            out = lut3d.apply_lut3d(out, table)
+            if tweaks is not None:
+                from .ops.chroma import tweak as chroma_tweak_fn
+
+                bright, cont, gamma, sat = tweaks
+                out = chroma_tweak_fn(out, sat=sat, bright=bright,
+                                      cont=cont, gamma=gamma)
+        if EnableDeflicker:
+            out = temporal_ops.reduce_flicker(out)
+        return out
+
+    restore_fn = cached_jit(
+        ("stream_restore", h, w, frame_size, LUT, EnableDeflicker),
+        lambda: restore_chunk,
     )
 
     writer = cv2.VideoWriter(path_out, cv2.VideoWriter_fourcc(*codec), fps, (w, h))
@@ -172,18 +223,33 @@ def HAVC_main_streaming(
         raise IOError(f"cannot open video writer: {path_out}")
 
     written = 0
-    # rolling buffers: originals (full res) + colorized work-res frames;
-    # work_buf[0] is global frame index `global_start`
+    # rolling buffers: originals (full res, post-BWTune) + colorized
+    # work-res frames; work_buf[0] is global frame index `global_start`
     orig_buf: list[np.ndarray] = []
     work_buf: list[np.ndarray] = []
     global_start = 0
     next_emit = 0
 
-    def emit(orig_chunk, work_chunk):
+    def _padded_window(buf, lo, hi):
+        """buf[lo:hi] with edge-replicated padding for out-of-range
+        indices — identical to the whole-clip ops' index clipping."""
+        ext_lo, ext_hi = max(lo, 0), min(hi, len(buf))
+        ext = np.stack(buf[ext_lo:ext_hi])
+        if lo < 0:
+            ext = np.concatenate([np.repeat(ext[:1], -lo, 0), ext])
+        if hi > len(buf):
+            ext = np.concatenate(
+                [ext, np.repeat(ext[-1:], hi - len(buf), 0)])
+        return ext
+
+    def emit(orig_ctx, work_ctx, ready):
+        """orig/work with halo_d frames of context each side; the restore
+        stage (luma recover -> LUT -> deflicker) runs on the context and
+        the interior `ready` frames are written."""
         nonlocal written
         out = np.asarray(
-            restore_fn(jnp.asarray(orig_chunk), jnp.asarray(work_chunk))
-        )
+            restore_fn(jnp.asarray(orig_ctx), jnp.asarray(work_ctx))
+        )[halo_d: halo_d + ready]
         for frame in out:
             u8 = (np.clip(frame, 0, 1) * 255).round().astype(np.uint8)
             writer.write(cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
@@ -208,22 +274,17 @@ def HAVC_main_streaming(
 
             lo = next_emit - global_start
             hi = lo + ready
+            orig_ctx = _padded_window(orig_buf, lo - halo_d, hi + halo_d)
             if not enable_stabilizer:
-                emit(np.stack(orig_buf[lo:hi]), np.stack(work_buf[lo:hi]))
+                work_ctx = _padded_window(work_buf, lo - halo_d, hi + halo_d)
             else:
-                ext_lo = max(lo - halo, 0)
-                ext_hi = min(hi + halo, len(work_buf))
-                ext = np.stack(work_buf[ext_lo:ext_hi])
-                front = (lo - halo) - ext_lo  # negative -> pad front
-                if front < 0:
-                    ext = np.concatenate(
-                        [np.repeat(ext[:1], -front, 0), ext])
-                want = chunk_size + 2 * halo
-                if ext.shape[0] < want:
-                    ext = np.concatenate(
-                        [ext, np.repeat(ext[-1:], want - ext.shape[0], 0)])
+                # work window with BOTH halos; temporal over it, then keep
+                # the deflicker-context interior (whose chroma windows are
+                # complete)
+                ext = _padded_window(work_buf, lo - halo, hi + halo)
                 smoothed = np.asarray(temporal_fn(jnp.asarray(ext)))
-                emit(np.stack(orig_buf[lo:hi]), smoothed[halo : halo + ready])
+                work_ctx = smoothed[halo_t: halo_t + ready + 2 * halo_d]
+            emit(orig_ctx, work_ctx, ready)
             next_emit += ready
             # retain `halo` past frames for the next chunk's window
             drop = max((next_emit - halo) - global_start, 0)
@@ -239,10 +300,157 @@ def HAVC_main_streaming(
             )
         else:
             padded = batch
-        colored = np.asarray(stage(params, jnp.asarray(padded)))[:n]
-        orig_buf.extend(batch)
-        work_buf.extend(colored)
+        tuned, colored = stage(params, jnp.asarray(padded))
+        orig_buf.extend(np.asarray(tuned)[:n])
+        work_buf.extend(np.asarray(colored)[:n])
         flush(final=False)
     flush(final=True)
+    writer.release()
+    return written
+
+
+def HAVC_restore_video_streaming(
+    path_in: str,
+    path_ref: str,
+    path_out: str,
+    render_speed: str = "medium",
+    engine_config: Optional[str] = None,
+    sc_threshold: float = 0.10,
+    chunk_size: int = 32,
+    count: Optional[int] = None,
+    codec: str = "mp4v",
+    work_size: Optional[tuple] = None,
+) -> int:
+    """Exemplar restore as a bounded-memory stream (the streaming form of
+    HAVC_restore_video ex_model=0): a B&W video is re-colorized from a
+    synchronized colored reference video through the ColorMNet scan, whose
+    carry (``resume_state``) flows across chunks — chunked output is
+    BIT-CONSISTENT with the whole-clip scan (the guarantee pinned by
+    test_exemplar's chunked==whole test).
+
+    Scene flags come from the reference stream: a frame is a reference
+    when its mean absolute luma difference against the previous reference
+    frame exceeds ``sc_threshold`` (SCDetect semantics, resumable across
+    chunk boundaries via the carried last frame).  Memory is
+    O(chunk) frames regardless of video length — the reference's
+    XML-RPC ColorMNet server holds its memory bank per process instead
+    (SURVEY 3.3); here the bank is the scan carry.
+    """
+    import cv2
+
+    from .exemplar import (
+        ColorMNetEngine,
+        _get_engine,
+        colormnet_propagate,
+        resolve_engine_config,
+        smart_resize_shape,
+    )
+    from .ops.colorspace import lab_to_rgb, rgb_to_lab, luma as luma_of
+    from .ops.resize import smart_resize_pad, smart_resize_restore
+
+    engine_config = resolve_engine_config(engine_config)
+
+    cap_in = cv2.VideoCapture(path_in)
+    cap_ref = cv2.VideoCapture(path_ref)
+    if not (cap_in.isOpened() and cap_ref.isOpened()):
+        raise IOError("cannot open input/reference video")
+    fps = cap_in.get(cv2.CAP_PROP_FPS) or 25.0
+    w = int(cap_in.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap_in.get(cv2.CAP_PROP_FRAME_HEIGHT))
+
+    if work_size is None:
+        wh, ww = smart_resize_shape(w, h, render_speed)
+    else:
+        wh, ww = work_size
+    engine = _get_engine("colormnet", config=engine_config,
+                         work_size=(wh, ww))
+
+    pad_fn = cached_jit(
+        ("smart_resize_pad", wh, ww, h, w),
+        lambda: lambda x: smart_resize_pad(x, wh, ww, "spline64")[0],
+    )
+    from .ops.resize import smart_resize_pad as _srp
+
+    _, pad_meta = _srp(jnp.zeros((1, h, w, 3), jnp.float32), wh, ww)
+    ref_ab_fn = cached_jit(
+        ("cm_ref_ab", wh, ww),
+        lambda: lambda x: jnp.clip(rgb_to_lab(x)[..., 1:3] / 110.0, -1.0, 1.0),
+    )
+    join_fn = cached_jit(
+        ("cm_join", wh, ww),
+        lambda: lambda fr, ab: jnp.clip(
+            lab_to_rgb(jnp.concatenate(
+                [rgb_to_lab(fr)[..., 0:1], ab * 110.0], axis=-1
+            )), 0.0, 1.0,
+        ),
+    )
+    restore_fn = cached_jit(
+        ("restore_full", h, w, tuple(pad_meta)),
+        lambda: lambda hi, lo: recover_clip_luma(
+            hi, smart_resize_restore(lo, pad_meta, "spline64")
+        ),
+    )
+
+    writer = cv2.VideoWriter(
+        path_out, cv2.VideoWriter_fourcc(*codec), fps, (w, h))
+    if not writer.isOpened():
+        raise IOError(f"cannot open video writer: {path_out}")
+
+    def read_chunk(cap, n):
+        out = []
+        for _ in range(n):
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            out.append(
+                cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+            )
+        return np.stack(out) if out else None
+
+    state = None
+    last_ref_luma = None  # downscaled luma of the previous REFERENCE frame
+    written = 0
+    first = True
+    while count is None or written < count:
+        n = chunk_size if count is None else min(chunk_size, count - written)
+        bw = read_chunk(cap_in, n)
+        refs = read_chunk(cap_ref, n)
+        if bw is None or refs is None:
+            break
+        t = min(len(bw), len(refs))
+        bw, refs = bw[:t], refs[:t]
+
+        # resumable scene detection on the reference stream
+        ref_lumas = np.asarray(luma_of(jnp.asarray(refs)))
+        is_ref = np.zeros(t, bool)
+        for i in range(t):
+            if last_ref_luma is None:
+                is_ref[i] = True
+            else:
+                diff = float(np.abs(ref_lumas[i] - last_ref_luma).mean())
+                is_ref[i] = diff > sc_threshold
+            if is_ref[i]:
+                last_ref_luma = ref_lumas[i]
+        if first:
+            is_ref[0] = True
+            first = False
+
+        work = pad_fn(jnp.asarray(bw))
+        work_refs = pad_fn(jnp.asarray(refs))
+        ref_ab = ref_ab_fn(work_refs)
+        ab, state = colormnet_propagate(
+            engine, work, np.asarray(ref_ab), is_ref,
+            frame_propagate=True, resume_state=state, return_state=True,
+        )
+        colored_small = join_fn(work, jnp.asarray(ab))
+        out = np.asarray(restore_fn(jnp.asarray(bw), colored_small))
+        for frame in out:
+            u8 = (np.clip(frame, 0, 1) * 255).round().astype(np.uint8)
+            writer.write(cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
+            written += 1
+        if len(bw) < n:
+            break
+    cap_in.release()
+    cap_ref.release()
     writer.release()
     return written

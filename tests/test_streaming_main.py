@@ -75,17 +75,20 @@ def test_streaming_equals_whole_clip(tmp_path, chunk_size):
     )
     work = []
     for s in range(0, 40, 8):
-        work.append(np.asarray(stage(params, jnp.asarray(frames[s:s + 8]))))
+        work.append(
+            np.asarray(stage(params, jnp.asarray(frames[s:s + 8]))[1])
+        )
     work = np.concatenate(work)
     sm = np.asarray(temporal_ops.chroma_stabilizer(
         jnp.asarray(work), nframes=5, weighted=False, sat=1.0, tht=15))
     sm = work * 0.2 + sm * 0.8
-    sm = np.asarray(temporal_ops.reduce_flicker(jnp.asarray(sm)))
     full = np.asarray(recover_clip_luma(
         jnp.asarray(frames),
         jnp.clip(resize(jnp.asarray(sm), frames.shape[1], frames.shape[2],
                         "spline64"), 0, 1),
     ))
+    # deflicker runs at FULL resolution after the restore (api order)
+    full = np.asarray(temporal_ops.reduce_flicker(jnp.asarray(full)))
     # compare pre-encode output against the decoded stream (mp4 is lossy:
     # allow codec-scale tolerance, but the mean must be tight)
     err = np.abs(full - got).mean()
@@ -115,3 +118,94 @@ def test_streaming_bounded_buffers(tmp_path, monkeypatch):
     assert n == 64
     # halo = 3 (nframes 5 -> nh 2, +1 deflicker); ext = chunk + 2*halo = 14
     assert peak["n"] <= 8 + 2 * 3 + 1
+
+
+def test_streaming_with_bwtune_lut_equals_whole(tmp_path):
+    """Preset-knob unification: BWTune pre-tune + LUT + deflicker flow
+    through the streaming stage exactly like the in-memory composition."""
+    from havc_tpu import presets as pr
+    from havc_tpu.api import bw_tune_frames
+    from havc_tpu.ops import lut3d
+
+    src = tmp_path / "in.mp4"
+    _write_test_video(src, t=24, h=64, w=80, seed=3)
+
+    out_path = tmp_path / "out.mp4"
+    n = streaming.HAVC_main_streaming(
+        str(src), str(out_path), Preset="fast", ColorModel="zhang(eccv16)",
+        BWTune="light", LUT=0, EnableDeflicker=True,
+        batch_size=8, chunk_size=8,
+    )
+    assert n == 24
+    got = _read_video(out_path)
+
+    frames = _read_video(src)
+    _, do_rf, dd_rf = pr.get_render_factors("fast")
+    do_model, dd_model, dd_method = pr.get_color_model("zhang(eccv16)")
+    method = 1 if dd_method == 1 else 2
+    dd_tweak, hue_range, hue_range2, _, chroma_adjust2 = pr.get_color_tune(
+        "light", "violet/red", "none", dd_model)
+    frame_size = min(max(do_rf, dd_rf) * 16, frames.shape[2])
+    stage, params = streaming._build_frame_stage(
+        method, pr.get_mweight("balanced"), do_model, dd_model, do_rf, dd_rf,
+        dd_tweak, hue_range, hue_range2, chroma_adjust2, frame_size,
+        bw_tune_id=pr.get_tune_id("light"), bw_method=0,
+    )
+    tuned_l, work_l = [], []
+    for s in range(0, 24, 8):
+        t_, w_ = stage(params, jnp.asarray(frames[s:s + 8]))
+        tuned_l.append(np.asarray(t_))
+        work_l.append(np.asarray(w_))
+    tuned = np.concatenate(tuned_l)
+    work = np.concatenate(work_l)
+    sm = np.asarray(temporal_ops.chroma_stabilizer(
+        jnp.asarray(work), nframes=5, weighted=False, sat=1.0, tht=15))
+    sm = work * 0.2 + sm * 0.8
+    full = np.asarray(recover_clip_luma(
+        jnp.asarray(tuned),
+        jnp.clip(resize(jnp.asarray(sm), frames.shape[1], frames.shape[2],
+                        "spline64"), 0, 1),
+    ))
+    full = np.asarray(lut3d.apply_lut3d(jnp.asarray(full),
+                                        jnp.asarray(lut3d.make_look_lut(0))))
+    tw = lut3d.LUT_TWEAKS.get(0)
+    if tw is not None:
+        from havc_tpu.ops.chroma import tweak as chroma_tweak_fn
+
+        full = np.asarray(chroma_tweak_fn(
+            jnp.asarray(full), sat=tw[3], bright=tw[0], cont=tw[1],
+            gamma=tw[2]))
+    full = np.asarray(temporal_ops.reduce_flicker(jnp.asarray(full)))
+    err = np.abs(np.clip(full, 0, 1) - got).mean()
+    assert err < 0.02, f"streaming vs whole-clip mean err {err:.4f}"
+
+
+@pytest.mark.slow
+def test_restore_video_streaming_exemplar(tmp_path):
+    """Exemplar streaming: the scan carry flows across chunks, so two
+    chunk sizes must produce identical outputs (bit-consistency of
+    resume_state), and the result must re-marry the B&W luma."""
+    src = tmp_path / "in.mp4"
+    ref = tmp_path / "ref.mp4"
+    frames = _write_test_video(src, t=12, h=64, w=64, seed=5)
+    # colored reference: tint the gray frames
+    wr = cv2.VideoWriter(str(ref), cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                         (64, 64))
+    for f in frames:
+        tinted = np.clip(f * np.array([1.2, 0.9, 0.8]), 0, 1)
+        wr.write(cv2.cvtColor((tinted * 255).astype(np.uint8),
+                              cv2.COLOR_RGB2BGR))
+    wr.release()
+
+    outs = {}
+    for chunk in (4, 12):
+        out_path = tmp_path / f"out_{chunk}.mp4"
+        n = streaming.HAVC_restore_video_streaming(
+            str(src), str(ref), str(out_path), chunk_size=chunk,
+            work_size=(32, 32),
+        )
+        assert n == 12
+        outs[chunk] = _read_video(out_path)
+    # chunked == whole through the carried scan state (codec-lossy bound)
+    err = np.abs(outs[4] - outs[12]).mean()
+    assert err < 5e-3, f"chunked exemplar streams diverge: {err:.4f}"
