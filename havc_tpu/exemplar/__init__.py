@@ -634,11 +634,16 @@ def deepex_propagate(
             [lab_seq[..., 0:1], lab_seq[..., 1:3] * 1.25], axis=-1
         )
     if wls_filter:
+        # true WLS: Fast Global Smoother with the reference's parameters
+        # (lambda=500, sigma_color=4, uint8 L guide — ops/fgs.py; the
+        # round-2 guided-filter stand-in is retired)
+        from ..ops.fgs import fgs_smooth_ab
+
         smooth = cached_jit(
-            ("deepex_wls",),
+            ("deepex_wls", engine.h, engine.w),
             lambda: lambda lab: jnp.concatenate(
                 [lab[..., 0:1],
-                 dx.guided_filter_ab(lab[..., 0:1], lab[..., 1:3])],
+                 fgs_smooth_ab(lab[..., 0:1], lab[..., 1:3])],
                 axis=-1,
             ),
         )
@@ -711,9 +716,13 @@ def remaster_propagate(
     (L/100); output ab01 -> ab = clip(ab01*255-128, -100, 100).
     """
     T, H, W, _ = frames.shape
-    lab = np.asarray(rgb_to_lab(jnp.asarray(frames)))
+    # device-resident: LAB split, window gathers and outputs all stay on
+    # chip; ONE host transfer at the end (round-3 perf pass — the per-group
+    # np.asarray round trips dominated wall clock on tunneled backends)
+    lab = rgb_to_lab(jnp.asarray(frames))
     l01 = lab[..., 0:1] / 100.0
     ref_frames = np.asarray(ref_frames)
+    refs_dev = jnp.asarray(ref_frames)
     R = ref_frames.shape[0]
     S = min(ref_buffer_size, R)
 
@@ -746,7 +755,7 @@ def remaster_propagate(
                 ws += 1
         win_starts.append(ws)
 
-    outs = []
+    outs = []  # device arrays; dispatched async, synced once at the end
     i = 0
     starts = list(range(0, T, length))
     ref_cache = {}
@@ -756,7 +765,7 @@ def remaster_propagate(
         while j < len(starts) and win_starts[j] == ws and j - i < GROUP:
             j += 1
         if ws not in ref_cache:
-            refs = jnp.asarray(ref_frames[ws : ws + S])[None]
+            refs = refs_dev[ws : ws + S][None]
             ref_cache = {ws: enc(engine.params, refs)}  # keep only current
         reffeat, reffeat2 = ref_cache[ws]
         chunks = []
@@ -764,21 +773,22 @@ def remaster_propagate(
             st = starts[k]
             c = l01[st : st + length]
             if c.shape[0] < length:
-                c = np.concatenate([c, np.repeat(c[-1:], length - c.shape[0], 0)])
+                c = jnp.concatenate(
+                    [c, jnp.repeat(c[-1:], length - c.shape[0], 0)])
             chunks.append(c)
         n_real = len(chunks)
         while len(chunks) < GROUP:
             chunks.append(chunks[-1])
-        batch = jnp.asarray(np.stack(chunks))
-        ab01g = np.asarray(fwd(engine.params, batch, reffeat, reffeat2))
+        batch = jnp.stack(chunks)
+        ab01g = fwd(engine.params, batch, reffeat, reffeat2)
         for k in range(n_real):
             st = starts[i + k]
             outs.append(ab01g[k][: min(length, T - st)])
         i = j
-    ab01 = np.concatenate(outs)
-    ab = np.clip(ab01 * 255.0 - 128.0, -100, 100)
-    lab_out = np.concatenate([lab[..., 0:1], ab], axis=-1)
-    return np.asarray(jnp.clip(lab_to_rgb(jnp.asarray(lab_out)), 0.0, 1.0))
+    ab01 = jnp.concatenate(outs)
+    ab = jnp.clip(ab01 * 255.0 - 128.0, -100, 100)
+    lab_out = jnp.concatenate([lab[..., 0:1], ab], axis=-1)
+    return np.asarray(jnp.clip(lab_to_rgb(lab_out), 0.0, 1.0))
 
 
 # ---------------------------------------------------------------------------
