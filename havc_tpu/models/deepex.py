@@ -227,7 +227,16 @@ class WarpNet(nn.Module):
             "bnc,bmc->bnm", theta, phi_b, preferred_element_type=jnp.float32
         )
         similarity = jnp.max(f, axis=-1).reshape(b_sz, fh, fw, 1).astype(b_lab.dtype)
-        attn = jax.nn.softmax(f / temperature, axis=-1).astype(b_lab.dtype)
+        # subtract the row max BEFORE the temperature division: the driver
+        # runs at temperature=1e-10 (deepex/__init__.py:172) where f/T hits
+        # 1e10-scale logits, and XLA:CPU's fused softmax rewrite overflows
+        # to NaN there (jit-only; eager and TPU were fine).  Shifted first,
+        # the logits are <= 0 and exp underflows harmlessly — numerically
+        # identical to softmax(f/T).
+        f_shift = f - jax.lax.stop_gradient(
+            jnp.max(f, axis=-1, keepdims=True)
+        )
+        attn = jax.nn.softmax(f_shift / temperature, axis=-1).astype(b_lab.dtype)
 
         # downsample reference color x4 (avg pool) and warp
         b_small = nn.avg_pool(b_lab, (4, 4), strides=(4, 4))

@@ -1,0 +1,171 @@
+"""Golden gate for the Deep-Exemplar DRIVER flow (BASELINE exemplar
+config): the repo's scene-batched ``deepex_propagate`` against a
+transcription of the reference ModelColorizer driver
+(deepex/__init__.py:100-263) built on the reference's own torch modules
+with seeded weights.
+
+What this adds over test_ref_parity_deepex (module-level e2e parity):
+the DRIVER conventions — the centered-LAB transform (util_distortion
+Normalize: L-50), per-scene reference feature caching and
+``I_last_lab_predict`` pinning (reset by set_ref_frame, update commented
+out at :174), the propagate vs zeros last-lab seeding, the vivid ab*1.25
+placement, and the final LAB join.  WLS is exercised separately
+(test_fgs oracle); here wls_filter=False isolates the driver chain.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from _ref_loader import load_ref_module, state_dict_numpy
+from havc_tpu import metrics
+from havc_tpu.models import convert
+from havc_tpu.models import deepex as dx
+from havc_tpu.ops.colorspace import lab_to_rgb, rgb_to_lab
+
+H = W = 64
+T = 6
+
+
+@pytest.fixture(scope="module")
+def torch_nets():
+    nl = load_ref_module("vsdeoldify.deepex.models.NonlocalNet")
+    cv = load_ref_module("vsdeoldify.deepex.models.ColorVidNet")
+    torch.manual_seed(0)
+    return (
+        nl.VGG19_pytorch().eval(),
+        nl.WarpNet(1).eval(),
+        cv.ColorVidNet(7).eval(),
+    )
+
+
+@pytest.fixture(scope="module")
+def flax_engine(torch_nets):
+    from havc_tpu.exemplar import DeepExEngine
+
+    vgg_t, warp_t, color_t = torch_nets
+    eng = DeepExEngine.__new__(DeepExEngine)
+    eng.h, eng.w = H, W
+    eng.vgg = dx.VGG19Features()
+    eng.warp = dx.WarpNet()
+    eng.color = dx.ColorVidNet()
+    eng.p_vgg = convert.convert_params(
+        state_dict_numpy(vgg_t), convert.deepex_vgg19_key_map())
+    eng.p_warp = convert.convert_params(
+        state_dict_numpy(warp_t), convert.deepex_warpnet_key_map())
+    eng.p_color = convert.convert_params(
+        state_dict_numpy(color_t), convert.deepex_colorvid_key_map())
+    return eng
+
+
+def _skimage_lab(rgb_f):
+    import cv2
+
+    return cv2.cvtColor(rgb_f.astype(np.float32), cv2.COLOR_RGB2LAB)
+
+
+def _lab_to_rgb_np(lab):
+    import cv2
+
+    return np.clip(
+        cv2.cvtColor(lab.astype(np.float32), cv2.COLOR_LAB2RGB), 0, 1
+    )
+
+
+def _reference_driver(torch_nets, frames, refs, is_ref, vivid):
+    """ModelColorizer set_ref_frame + colorize_frame transcription
+    (centered LAB, pinned last prediction, per-scene features)."""
+    fc = load_ref_module("vsdeoldify.deepex.models.FrameColor")
+    vgg_t, warp_t, color_t = torch_nets
+
+    def to_centered(rgb_f):  # (H,W,3) [0,1] -> (1,3,H,W) centered lab
+        lab = _skimage_lab(rgb_f)
+        lab[..., 0] -= 50.0
+        return torch.from_numpy(lab.transpose(2, 0, 1).copy())[None]
+
+    uncenter = load_ref_module("vsdeoldify.deepex.utils.util")
+    outs = []
+    features_B = None
+    IB_lab = None
+    last = None
+    with torch.no_grad():
+        for t in range(len(frames)):
+            if is_ref[t]:
+                IB_lab = to_centered(refs[t])
+                I_ref_l = IB_lab[:, 0:1]
+                I_ref_ab = IB_lab[:, 1:3]
+                ref_rgb = uncenter.tensor_lab2rgb(
+                    torch.cat((uncenter.uncenter_l(I_ref_l), I_ref_ab), dim=1)
+                )
+                features_B = vgg_t(
+                    ref_rgb, ["r12", "r22", "r32", "r42", "r52"],
+                    preprocess=True,
+                )
+                last = IB_lab  # propagate=True seeding
+            IA_lab = to_centered(frames[t])
+            ab, _, _ = fc.frame_colorization(
+                IA_lab, IB_lab, last, features_B, vgg_t, warp_t, color_t,
+                feature_noise=0, temperature=1e-10,
+            )
+            # I_last_lab_predict update is commented out in the reference
+            # driver (deepex/__init__.py:174) — last stays pinned
+            pred = ab[0].numpy().transpose(1, 2, 0)
+            if vivid:
+                pred = pred * 1.25
+            l_raw = _skimage_lab(frames[t])[..., 0:1]
+            outs.append(
+                _lab_to_rgb_np(np.concatenate([l_raw, pred], axis=-1))
+            )
+    return np.stack(outs)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("vivid", [False, True])
+def test_deepex_driver_golden(torch_nets, flax_engine, vivid):
+    from havc_tpu.exemplar import deepex_propagate
+
+    rng = np.random.default_rng(0)
+
+    def smooth(shape, seed):
+        from scipy.ndimage import uniform_filter
+
+        r = np.random.default_rng(seed)
+        return uniform_filter(
+            r.standard_normal(shape).astype(np.float32), size=(0, 9, 9, 0)
+        )
+
+    frames = np.clip(smooth((T, H, W, 3), 1) * 2 + 0.5, 0, 1)
+    frames = frames.mean(axis=-1, keepdims=True).repeat(3, -1)  # B&W video
+    refs = np.clip(smooth((T, H, W, 3), 2) * 2 + 0.5, 0, 1)
+    is_ref = np.zeros(T, bool)
+    is_ref[0] = is_ref[3] = True  # two scenes
+
+    ref_out = _reference_driver(torch_nets, frames, refs, is_ref, vivid)
+    with jax.default_matmul_precision("highest"):
+        got = deepex_propagate(
+            flax_engine, frames, refs, is_ref,
+            wls_filter=False, frame_propagate=True, vivid=vivid,
+            batch_size=2,
+        )
+    de = metrics.dE2000(
+        (np.clip(ref_out, 0, 1) * 255).astype(np.uint8),
+        (np.clip(got, 0, 1) * 255).astype(np.uint8),
+    )
+    mean_de = float(np.mean(de))
+    # vivid multiplies RANDOM-weight predictions (|ab| up to ~60) by 1.25,
+    # pushing most pixels far outside the sRGB gamut where cv2's and the
+    # repo's clip conventions legitimately differ; trained predictions are
+    # mostly in-gamut.  The vivid PLACEMENT itself (ab*1.25 pre-join,
+    # deepex/__init__.py:180-185) is identical on both sides.
+    tol = 1.0 if not vivid else 2.5
+    assert mean_de <= tol, (
+        f"vivid={vivid}: mean dE2000 {mean_de:.3f} > {tol}"
+    )
