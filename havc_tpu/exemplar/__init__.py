@@ -712,15 +712,21 @@ def remaster_propagate(
     sees roughly half past and half future references.  Without
     ``ref_positions`` the buffer is static (all refs, old behaviour).
 
-    LAB conventions per remaster_utils.py:29-44: input L in [0,1]
-    (L/100); output ab01 -> ab = clip(ab01*255-128, -100, 100).
+    Conventions per the reference driver (process_frames:236-277): input
+    = rec601 gray/255; refs = RGB [0,1]; output ab01 -> ab =
+    clip(ab01*255-128, -100, 100) joined with gray*100 as LAB.
     """
     T, H, W, _ = frames.shape
-    # device-resident: LAB split, window gathers and outputs all stay on
+    # device-resident: luma split, window gathers and outputs all stay on
     # chip; ONE host transfer at the end (round-3 perf pass — the per-group
-    # np.asarray round trips dominated wall clock on tunneled backends)
-    lab = rgb_to_lab(jnp.asarray(frames))
-    l01 = lab[..., 0:1] / 100.0
+    # np.asarray round trips dominated wall clock on tunneled backends).
+    # Input/output conventions per the reference driver
+    # (remaster_render.process_frames:236-277 + remaster_utils
+    # convertLAB2RGB): frame input = rec601 GRAY/255 (cv2.RGB2GRAY), refs =
+    # plain RGB [0,1] tensors, output joins (gray*100, ab01*255-128
+    # clipped) as LAB.
+    frames_dev = jnp.asarray(frames)
+    l01 = luma(frames_dev)[..., None]
     ref_frames = np.asarray(ref_frames)
     refs_dev = jnp.asarray(ref_frames)
     R = ref_frames.shape[0]
@@ -787,7 +793,7 @@ def remaster_propagate(
         i = j
     ab01 = jnp.concatenate(outs)
     ab = jnp.clip(ab01 * 255.0 - 128.0, -100, 100)
-    lab_out = jnp.concatenate([lab[..., 0:1], ab], axis=-1)
+    lab_out = jnp.concatenate([l01 * 100.0, ab], axis=-1)
     return np.asarray(jnp.clip(lab_to_rgb(lab_out), 0.0, 1.0))
 
 
