@@ -48,6 +48,7 @@ __all__ = [
     "deepex_propagate",
     "remaster_propagate",
     "smart_resize_shape",
+    "pad112_geometry",
 ]
 
 # Vivid tweaks (reference constants.py:76-79)
@@ -79,13 +80,26 @@ def resolve_engine_config(requested: Optional[str] = None) -> str:
 
 
 def smart_resize_shape(width: int, height: int, speed: str = "medium"):
-    """SmartResize working sizes: pad to 16:9 then preset size
-    (vsresize.py:271-411; ColorMNet/DeepEx use 16:9 presets)."""
+    """SmartResize working sizes: pad to 16:9 then the preset size
+    (vsresize.py:271-411; ColorMNet/DeepEx use 16:9 presets).  EXACT
+    reference sizes (e.g. medium 216x384) — ColorMNet's 1/14 + 1/16 grid
+    alignment is handled by the pad_divide_by(112) step in the engine
+    path, like the reference."""
     from ..models.deepex import get_deepex_size
 
-    h, w = get_deepex_size(speed)
-    # round to multiples of 16 for the 1/16 token grid
-    return (h // 16) * 16, (w // 16) * 16
+    return get_deepex_size(speed)
+
+
+def pad112_geometry(wh: int, ww: int):
+    """ColorMNet input geometry: the reference pads its input to multiples
+    of 112 = lcm(14, 16) with symmetric zero borders (colormnet_render
+    pad_divide_by(112), tensor_util.py:17-31) so the DINOv2 1/14 and
+    ResNet 1/16 grids align.  Returns ``(ph, pw, lh, lw, uh, uw)`` —
+    padded size plus lower/upper border widths per axis."""
+    ph = -(-wh // 112) * 112
+    pw = -(-ww // 112) * 112
+    lh, lw = (ph - wh) // 2, (pw - ww) // 2
+    return ph, pw, lh, lw, ph - wh - lh, pw - ww - lw
 
 
 # ---------------------------------------------------------------------------
@@ -246,7 +260,7 @@ def _lab_l3(rgb: jnp.ndarray) -> jnp.ndarray:
 
 def colormnet_propagate(
     engine: ColorMNetEngine,
-    frames: np.ndarray,  # (T, H, W, 3) RGB [0,1] at working size
+    frames: np.ndarray,  # (T, H, W, 3) RGB [0,1]; (H, W) <= engine size
     ref_ab: np.ndarray,  # (T, H, W, 2) normalized ab in [-1,1] (refs only)
     is_ref: np.ndarray,  # (T,) bool: reference (scene-change) frames
     ref_frames: Optional[np.ndarray] = None,  # (T, H, W, 3) reference RGB
@@ -296,6 +310,14 @@ def colormnet_propagate(
     outside the scan (full MXU utilization); only the carry-dependent work
     (memory readout, short-term attention, decoder, value encoder) stays in
     the per-frame scan.
+
+    Geometry: frames smaller than the engine's work size are zero-padded
+    with symmetric borders IN NORMALIZED-LAB SPACE — exactly the
+    reference's ``pad_divide_by(112)`` (inference_core.py:51,125), which
+    F.pads the ``im_transform``-ed tensor, so the border is L*=50 neutral
+    gray, not black — and the ab prediction is unpadded back
+    (``unpad``, tensor_util.py:34-43).  Size the engine with
+    ``pad112_geometry`` so the DINOv2 1/14 and ResNet 1/16 grids align.
     """
     from ..models import memory as mem
 
@@ -453,9 +475,21 @@ def colormnet_propagate(
     )
     params = (engine.p_key, engine.p_proj, engine.p_value, engine.p_dec,
               engine.p_attn)
+    fh, fw = int(frames.shape[1]), int(frames.shape[2])
+    if fh > engine.h or fw > engine.w:
+        raise ValueError(
+            f"frames {fh}x{fw} exceed engine work size {engine.h}x{engine.w}"
+            " — size the engine with pad112_geometry(h, w)"
+        )
+    lh, lw = (engine.h - fh) // 2, (engine.w - fw) // 2
+    uh, uw = engine.h - fh - lh, engine.w - fw - lw
+
+    def _pad112(x):  # zeros in *normalized* space = L*=50 / neutral ab
+        return jnp.pad(x, ((0, 0), (lh, uh), (lw, uw), (0, 0)))
+
     prep = cached_jit(
-        ("colormnet_l3", engine.h, engine.w, str(dtype)),
-        lambda: lambda x: _lab_l3(x).astype(dtype),
+        ("colormnet_l3", fh, fw, engine.h, engine.w, str(dtype)),
+        lambda: lambda x: _pad112(_lab_l3(x).astype(dtype)),
     )
 
     # batched key-encoder precompute (chunks of ENC_B frames, one compile)
@@ -501,11 +535,11 @@ def colormnet_propagate(
         (
             frames_l3, g16s, g8s, g4s, keys, shrinks, sels,
             ref_pre,
-            jnp.asarray(ref_ab, dtype),
+            _pad112(jnp.asarray(ref_ab, dtype)),
             jnp.asarray(is_ref.astype(bool)),
         ),
     )
-    out = np.asarray(ab_seq, np.float32)
+    out = np.asarray(ab_seq, np.float32)[:, lh : lh + fh, lw : lw + fw]
     if return_state:
         # The carry is a plain pytree of arrays: serializable (np.savez /
         # orbax) for mid-video checkpoint/resume — a capability the
@@ -998,7 +1032,10 @@ def HAVC_deepex(
     frame_propagate = method in (0, 1, 3, 5)
 
     def _run_colormnet():
-        engine = _get_engine("colormnet", config=engine_config, work_size=(wh, ww))
+        # the engine runs at the reference's pad_divide_by(112) geometry;
+        # colormnet_propagate pads in normalized-LAB space and unpads back
+        ph, pw = pad112_geometry(wh, ww)[:2]
+        engine = _get_engine("colormnet", config=engine_config, work_size=(ph, pw))
         # device-resident: LAB split/join stays on chip, only the final
         # colorized frames hop back to host
         prep = cached_jit(

@@ -178,6 +178,9 @@ def _consolidate(s: MemoryState, cfg: MemoryConfig) -> MemoryState:
     dst = jax.lax.top_k(1.0 - s.lt_valid.astype(jnp.float32), k_p)[1]
 
     def put(old, new, axis0=False):
+        # similarity/affinity math runs in f32; cast back so scatters into
+        # bf16 stores stay bf16 (implicit down-cast scatters are deprecated)
+        new = jnp.asarray(new, old.dtype)
         if axis0:  # (O, L, Cv)
             cur = old[:, dst]
             selv = jnp.where(proto_ok[None, :, None], new, cur)

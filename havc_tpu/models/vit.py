@@ -113,12 +113,17 @@ def _bicubic_1d(x: jnp.ndarray, out_size: int, scale: float, axis: int):
 def torch_bicubic_resize(x: jnp.ndarray, out_hw, scale_hw=None):
     """Torch-exact bicubic resize over the two leading-minor spatial axes of
     a (B, H, W, C) array.  ``scale_hw`` supplies explicit sampling scales
-    (F.interpolate scale_factor semantics); defaults to out/in."""
+    (F.interpolate scale_factor semantics); defaults to out/in.
+
+    Interpolation weights are f32; the result is cast back to the input
+    dtype so bf16 feature paths stay bf16 (a scan carry whose dtype leaks
+    to f32 breaks lax.scan type matching)."""
     oh, ow = out_hw
     sh = scale_hw[0] if scale_hw else oh / x.shape[1]
     sw = scale_hw[1] if scale_hw else ow / x.shape[2]
+    dtype = x.dtype
     x = _bicubic_1d(x, oh, sh, axis=1)
-    return _bicubic_1d(x, ow, sw, axis=2)
+    return _bicubic_1d(x, ow, sw, axis=2).astype(dtype)
 
 
 def _linear_1d(x: jnp.ndarray, out_size: int, scale: float, axis: int):
@@ -145,10 +150,14 @@ def torch_bilinear_resize(x: jnp.ndarray, out_hw):
     """Torch-exact ``F.interpolate(mode='bilinear', align_corners=False,
     antialias=False)`` over H, W of a (B, H, W, C) array — matches the
     reference's feature-map re-grids (e.g. the Segmentor's 1/14 -> 1/16
-    DOWNSCALE, resnet.py:244, where jax.image.resize would antialias)."""
+    DOWNSCALE, resnet.py:244, where jax.image.resize would antialias).
+
+    f32 interpolation weights, result cast back to the input dtype (keeps
+    bf16 engine paths bf16 — see torch_bicubic_resize)."""
     oh, ow = out_hw
+    dtype = x.dtype
     x = _linear_1d(x, oh, oh / x.shape[1], axis=1)
-    return _linear_1d(x, ow, ow / x.shape[2], axis=2)
+    return _linear_1d(x, ow, ow / x.shape[2], axis=2).astype(dtype)
 
 
 class ViT(nn.Module):

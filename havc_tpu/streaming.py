@@ -342,6 +342,7 @@ def HAVC_restore_video_streaming(
         ColorMNetEngine,
         _get_engine,
         colormnet_propagate,
+        pad112_geometry,
         resolve_engine_config,
         smart_resize_shape,
     )
@@ -362,8 +363,12 @@ def HAVC_restore_video_streaming(
         wh, ww = smart_resize_shape(w, h, render_speed)
     else:
         wh, ww = work_size
+    # the engine runs at the reference's pad_divide_by(112) geometry (the
+    # 1/14 and 1/16 grids align); colormnet_propagate pads in
+    # normalized-LAB space and unpads the prediction back
+    ph, pw = pad112_geometry(wh, ww)[:2]
     engine = _get_engine("colormnet", config=engine_config,
-                         work_size=(wh, ww))
+                         work_size=(ph, pw))
 
     pad_fn = cached_jit(
         ("smart_resize_pad", wh, ww, h, w),

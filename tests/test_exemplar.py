@@ -150,6 +150,39 @@ class TestColorMNetFlow:
         # predictions bounded by tanh
         assert np.abs(ab[1:]).max() <= 1.0
 
+    def test_propagate_pads_in_normalized_lab_space(self):
+        """Frames smaller than the engine are zero-padded in NORMALIZED-LAB
+        space (L*=50 neutral gray), exactly pad_divide_by on the
+        im_transform-ed tensor (inference_core.py:51 + F.pad zeros) — NOT
+        black RGB.  Equivalence check: caller-side padding with the L*=50
+        gray RGB + zero ab must reproduce the internal pad."""
+        from havc_tpu.exemplar import ColorMNetEngine, colormnet_propagate
+        from havc_tpu.ops.colorspace import lab_to_rgb
+
+        eng = ColorMNetEngine(config="micro", work_size=(32, 32))
+        rng = np.random.default_rng(3)
+        fh, fw = 26, 22
+        frames = rng.random((3, fh, fw, 3), dtype=np.float32)
+        ref_ab = (rng.random((3, fh, fw, 2), dtype=np.float32) * 2 - 1)
+        is_ref = np.array([1, 0, 0], bool)
+        small = colormnet_propagate(eng, frames, ref_ab, is_ref)
+        assert small.shape == (3, fh, fw, 2)
+
+        gray = np.asarray(
+            lab_to_rgb(jnp.array([[[[50.0, 0.0, 0.0]]]]))
+        ).reshape(3)
+        lh, lw = (32 - fh) // 2, (32 - fw) // 2
+        uh, uw = 32 - fh - lh, 32 - fw - lw
+        fr_big = np.empty((3, 32, 32, 3), np.float32)
+        fr_big[:] = gray
+        fr_big[:, lh : lh + fh, lw : lw + fw] = frames
+        ab_big = np.zeros((3, 32, 32, 2), np.float32)
+        ab_big[:, lh : lh + fh, lw : lw + fw] = ref_ab
+        big = colormnet_propagate(eng, fr_big, ab_big, is_ref)
+        np.testing.assert_allclose(
+            small, big[:, lh : lh + fh, lw : lw + fw], atol=2e-3
+        )
+
 
 @pytest.mark.slow
 class TestRemasterFlow:
