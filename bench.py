@@ -166,11 +166,23 @@ def run_child():
                 ))[:, None, None, None] + 0.08,
                 0, 1,
             ).repeat(3, axis=-1).astype(np.float32)
-            clip = from_frames(seq)
-            # warm (compile) on a short prefix, then time the full clip
-            api.HAVC_main(clip[:8], Preset="medium", ScThreshold=0.10)
+            # device-resident in/out, same convention as the fused-pipeline
+            # metric above (the tunneled PJRT link's ~30 MB/s host<->device
+            # path would otherwise dominate; a directly-attached chip
+            # doesn't pay it).  The API preserves residency: device in ->
+            # every stage stays on device -> device out.
+            clip = from_frames(seq).to_device()
+            jax.block_until_ready(clip.frames)
+            # warm (compile) at the FULL clip shape — the temporal stages
+            # (chroma_stabilizer, deflicker) trace over the whole time
+            # axis, so a short-prefix warm leaves T=48 compiles in the
+            # timed region
+            jax.block_until_ready(
+                api.HAVC_main(clip, Preset="medium", ScThreshold=0.10).frames
+            )
             t0 = time.perf_counter()
-            api.HAVC_main(clip, Preset="medium", ScThreshold=0.10)
+            out = api.HAVC_main(clip, Preset="medium", ScThreshold=0.10)
+            jax.block_until_ready(out.frames)
             dt = time.perf_counter() - t0
             extra["havc_main_fps_1080p"] = round(T_m / dt, 2)
         except Exception as e:  # noqa: BLE001 - secondary metric only

@@ -126,8 +126,11 @@ def HAVC_colorizer(
 
     scenechange = not (sc_threshold == 0 and sc_min_freq == 0)
     if scenechange:
+        # device-resident clips stay on device: frame_stats reduces on the
+        # accelerator and only per-frame scalars (+ optional SSIM maps)
+        # come back to host
         flags = scene_detect(
-            np.asarray(clip.frames),
+            clip.frames,
             threshold=sc_threshold,
             frequency=sc_min_freq,
             sc_tht_filter=sc_tht_ssim,
@@ -214,7 +217,9 @@ def _colorize_fused(
         lambda: stage,
     )
     params = (do_params, dd_params)
-    all_frames = np.asarray(clip.frames)
+    on_dev = clip.on_device
+    xp = jnp if on_dev else np
+    all_frames = clip.frames if on_dev else np.asarray(clip.frames)
 
     def run_over(arr):
         outs = []
@@ -225,32 +230,43 @@ def _colorize_fused(
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], batch_size - n, 0)]
                 )
-            outs.append(np.asarray(fn(params, chunk))[:n])
-        return np.concatenate(outs) if outs else arr
+            r = fn(params, chunk)
+            outs.append(r[:n] if on_dev else np.asarray(r)[:n])
+        return xp.concatenate(outs) if outs else arr
 
     if sc_idx is None:
         return clip.with_frames(run_over(all_frames))
     if len(sc_idx) == 0:
         return clip
-    out = all_frames.copy()
-    out[sc_idx] = run_over(all_frames[sc_idx])
+    if on_dev:
+        # device scatter (no host copy of the full clip)
+        out = all_frames.at[jnp.asarray(sc_idx)].set(
+            run_over(all_frames[jnp.asarray(sc_idx)])
+        )
+    else:
+        out = all_frames.copy()
+        out[sc_idx] = run_over(all_frames[sc_idx])
     return clip.with_frames(out)
 
 
 def _chroma_resize_clip(hires: Clip, lowres: Clip, batch_size: int = 8) -> Clip:
-    """_clip_chroma_resize analog (__init__.py:3545-3560)."""
+    """_clip_chroma_resize analog (__init__.py:3545-3560).  Output
+    residency follows ``hires`` (device in -> device out)."""
     T = hires.num_frames
+    on_dev = hires.on_device
     outs = []
     fn = cached_jit(("chroma_resize_restore",), lambda: filters.chroma_resize_restore)
     for s in range(0, T, batch_size):
-        hi = jnp.asarray(np.asarray(hires.frames[s : s + batch_size]))
-        lo = jnp.asarray(np.asarray(lowres.frames[s : s + batch_size]))
+        hi = jnp.asarray(hires.frames[s : s + batch_size])
+        lo = jnp.asarray(lowres.frames[s : s + batch_size])
         n = hi.shape[0]
         if n < batch_size:
             hi = jnp.concatenate([hi, jnp.repeat(hi[-1:], batch_size - n, 0)])
             lo = jnp.concatenate([lo, jnp.repeat(lo[-1:], batch_size - n, 0)])
-        outs.append(np.asarray(fn(hi, lo))[:n])
-    return hires.with_frames(np.concatenate(outs)).copy_sc_from(lowres)
+        r = fn(hi, lo)
+        outs.append(r[:n] if on_dev else np.asarray(r)[:n])
+    joined = jnp.concatenate(outs) if on_dev else np.concatenate(outs)
+    return hires.with_frames(joined).copy_sc_from(lowres)
 
 
 # --------------------------------------------------------------------------
@@ -281,6 +297,12 @@ def HAVC_stabilizer(
     if render_factor == 0:
         render_factor = min(max(math.trunc(0.4 * clip.width / 16), 16), 32)
 
+    # one upload, then the whole chain (downscale -> tweaks -> temporal
+    # stabilize -> full-res chroma restore) stays device-resident; the
+    # same device copy of the hi-res frames feeds both the downscale and
+    # the final luma restore.  Output residency follows the input.
+    on_dev_in = clip.on_device
+    clip = clip.to_device()
     clip_orig = clip
     frame_size = min(render_factor * 16, clip.width)
     work = _batched(
@@ -318,16 +340,14 @@ def HAVC_stabilizer(
         d_sat = min(max(1.1 - dark_p[1], 0.10), 0.80)
         d_bright = -min(max(dark_p[1], 0.20), 0.90)
         x = x.with_frames(
-            np.asarray(
-                post_chain_pallas(
-                    jnp.asarray(np.asarray(x.frames)),
-                    dark_thr=0.1, dark_white=d_white, dark_sat=d_sat,
-                    dark_bright=d_bright,
-                    sm_black=smooth_p[0], sm_white=smooth_p[1],
-                    sm_sat=smooth_p[2], sm_bright=-smooth_p[3],
-                    cmap_ranges=cmap_ranges, cmap_hue_shift=cmap_hue,
-                    cmap_sat=cmap_sat, cmap_weight=cmap_w,
-                )
+            post_chain_pallas(
+                jnp.asarray(x.frames),
+                dark_thr=0.1, dark_white=d_white, dark_sat=d_sat,
+                dark_bright=d_bright,
+                sm_black=smooth_p[0], sm_white=smooth_p[1],
+                sm_sat=smooth_p[2], sm_bright=-smooth_p[3],
+                cmap_ranges=cmap_ranges, cmap_hue_shift=cmap_hue,
+                cmap_sat=cmap_sat, cmap_weight=cmap_w,
             )
         )
     if dark and not fusable:
@@ -358,7 +378,7 @@ def HAVC_stabilizer(
     if stab:
         nframes, mode, sat, tht, weight, tht_scen = stab_p[:6]
         sc = x.sc.sc_prev if x.sc is not None else None
-        frames = jnp.asarray(np.asarray(x.frames))
+        frames = jnp.asarray(x.frames)
         stab_fn = cached_jit(
             ("stab", nframes, str(mode), sat, tht),
             lambda: lambda f, s: temporal_ops.chroma_stabilizer(
@@ -367,18 +387,19 @@ def HAVC_stabilizer(
             ),
         )
         scv = jnp.asarray((sc if sc is not None else np.zeros(len(x), np.int8)).astype(np.int32))
-        stabilized = np.asarray(stab_fn(frames, scv))
+        stabilized = stab_fn(frames, scv)
         if weight > 0:
-            stabilized = np.asarray(frames) * weight + stabilized * (1 - weight)
+            stabilized = frames * weight + stabilized * (1 - weight)
         x = x.with_frames(stabilized)
         if deflicker:
             defl = cached_jit(
                 ("deflicker",),
                 lambda: lambda f, s: temporal_ops.reduce_flicker(f, scenechange=s),
             )
-            x = x.with_frames(np.asarray(defl(jnp.asarray(x.frames), scv)))
+            x = x.with_frames(defl(jnp.asarray(x.frames), scv))
 
-    return _chroma_resize_clip(clip_orig, x, batch_size)
+    out = _chroma_resize_clip(clip_orig, x, batch_size)
+    return out if on_dev_in else out.to_host()
 
 
 # --------------------------------------------------------------------------
@@ -410,8 +431,8 @@ def HAVC_merge(
     T = clipa.num_frames
     outs = []
     for s in range(0, T, batch_size):
-        a = jnp.asarray(np.asarray(clipa.frames[s : s + batch_size]))
-        b = jnp.asarray(np.asarray(clipb.frames[s : s + batch_size]))
+        a = jnp.asarray(clipa.frames[s : s + batch_size])
+        b = jnp.asarray(clipb.frames[s : s + batch_size])
         n = a.shape[0]
         if n < batch_size:
             a = jnp.concatenate([a, jnp.repeat(a[-1:], batch_size - n, 0)])
@@ -667,7 +688,7 @@ def HAVC_export_reference_frames(clip: Clip, sc_framedir: str) -> list:
 def HAVC_clip_slice(clip: Clip, rows: int = 2, cols: int = 2, overlap: int = 64):
     """Overlapping tile slice (HAVC_clip_slice, __init__.py:2886)."""
     tiles, meta = tiles_ops.slice_tiles(
-        jnp.asarray(np.asarray(clip.frames)), rows, cols, overlap
+        jnp.asarray(clip.frames), rows, cols, overlap
     )
     return from_frames(np.asarray(tiles), fps=clip.fps), meta
 
@@ -677,9 +698,9 @@ def HAVC_clip_reconstruct(
 ) -> Clip:
     """Tile blend-reconstruction (HAVC_clip_reconstruct, __init__.py:2916)."""
     rec = tiles_ops.reconstruct_tiles(
-        jnp.asarray(np.asarray(tiles_clip.frames)),
+        jnp.asarray(tiles_clip.frames),
         meta,
-        recover_luma=jnp.asarray(np.asarray(clip.frames)) if recover_luma else None,
+        recover_luma=jnp.asarray(clip.frames) if recover_luma else None,
     )
     return clip.with_frames(np.asarray(rec))
 
@@ -709,8 +730,8 @@ def HAVC_recover_clip_color(
     T = clip.num_frames
     outs = []
     for s in range(0, T, batch_size):
-        a = jnp.asarray(np.asarray(clip.frames[s : s + batch_size]))
-        b = jnp.asarray(np.asarray(clip_color.frames[s : s + batch_size]))
+        a = jnp.asarray(clip.frames[s : s + batch_size])
+        b = jnp.asarray(clip_color.frames[s : s + batch_size])
         n = a.shape[0]
         if n < batch_size:
             a = jnp.concatenate([a, jnp.repeat(a[-1:], batch_size - n, 0)])
@@ -826,6 +847,10 @@ def HAVC_main_presets(
         )
         colored = HAVC_deepex(clip=work, clip_ref=ref, batch_size=batch_size)
     else:
+        # classic path: the reference calls HAVC_colorizer WITHOUT
+        # sc_threshold here (__init__.py:853-860) — ScThreshold only
+        # gates reference-frame generation for the DeepEx path, so every
+        # frame is colorized
         colored = HAVC_main_colorizer(
             work,
             color_model=color_model,
@@ -836,8 +861,8 @@ def HAVC_main_presets(
             color_map=color_map,
             deoldify_rf=deoldify_rf,
             ddcolor_rf=ddcolor_rf,
-            sc_threshold=sc_threshold,
-            sc_min_freq=sc_min_freq,
+            sc_threshold=0.0,
+            sc_min_freq=0,
             batch_size=batch_size,
         )
 
@@ -868,8 +893,9 @@ def HAVC_main_presets(
         scv = jnp.asarray(
             (sc if sc is not None else np.zeros(len(colored), np.int8)).astype(np.int32)
         )
+        out = fn(jnp.asarray(colored.frames), scv)
         colored = colored.with_frames(
-            np.asarray(fn(jnp.asarray(np.asarray(colored.frames)), scv))
+            out if colored.on_device else np.asarray(out)
         )
     return colored
 
@@ -1010,7 +1036,7 @@ def HAVC_clip_overlay(
     from .ops.overlay import overlay as op_overlay
 
     mask_frames = (
-        jnp.asarray(np.asarray(mask.frames))[..., 0] if mask is not None else None
+        jnp.asarray(mask.frames)[..., 0] if mask is not None else None
     )
     fn = cached_jit(
         ("overlay", x, y, mode, opacity, mask is not None,
@@ -1024,8 +1050,8 @@ def HAVC_clip_overlay(
     T = base.num_frames
     outs = []
     for s in range(0, T, batch_size):
-        b = jnp.asarray(np.asarray(base.frames[s : s + batch_size]))
-        o = jnp.asarray(np.asarray(overlay_clip.frames[s : s + batch_size]))
+        b = jnp.asarray(base.frames[s : s + batch_size])
+        o = jnp.asarray(overlay_clip.frames[s : s + batch_size])
         if mask is not None:
             m = mask_frames[s : s + batch_size]
             outs.append(np.asarray(fn(b, o, m)))
@@ -1105,7 +1131,7 @@ def HAVC_ColorAdjust(
         )
         out = out.with_frames(
             np.asarray(
-                fn(jnp.asarray(np.asarray(out.frames)),
+                fn(jnp.asarray(out.frames),
                    jnp.asarray(sc.astype(np.int32)))
             )
         )

@@ -79,9 +79,29 @@ class Clip:
     def __len__(self) -> int:
         return self.num_frames
 
+    @property
+    def on_device(self) -> bool:
+        """True when frames live on an accelerator as a jax Array.  Pipeline
+        stages preserve residency: device in -> device out (no host
+        round-trips between stages), host in -> host out."""
+        return isinstance(self.frames, jax.Array)
+
     # -- functional updates ---------------------------------------------------
     def with_frames(self, frames) -> "Clip":
         return replace(self, frames=frames)
+
+    def to_device(self) -> "Clip":
+        """Move frames to the default device ONCE; downstream stages then
+        run with zero host<->device hops (the reference keeps frames in VS
+        core memory and pays a GPU transfer per filter instead)."""
+        if self.on_device:
+            return self
+        return replace(self, frames=jax.device_put(np.asarray(self.frames)))
+
+    def to_host(self) -> "Clip":
+        if not self.on_device:
+            return self
+        return replace(self, frames=np.asarray(self.frames))
 
     def with_sc(self, sc: SceneFlags) -> "Clip":
         return replace(self, sc=sc)
@@ -122,14 +142,18 @@ class Clip:
         dispatch overlaps the next batch's H2D copy with current compute.
         """
         T = self.num_frames
+        on_dev = self.on_device
+        xp = jnp if on_dev else np
         f = jax.jit(fn) if jit else fn
         outs = []
         for start in range(0, T, batch_size):
-            chunk = np.asarray(self.frames[start : start + batch_size])
+            chunk = self.frames[start : start + batch_size]
+            if not on_dev:
+                chunk = np.asarray(chunk)
             n = chunk.shape[0]
             if n < batch_size:
-                pad = np.repeat(chunk[-1:], batch_size - n, axis=0)
-                chunk = np.concatenate([chunk, pad], axis=0)
+                pad = xp.repeat(chunk[-1:], batch_size - n, axis=0)
+                chunk = xp.concatenate([chunk, pad], axis=0)
             if pass_sc and self.sc is not None:
                 scb = self.sc.sc_prev[start : start + batch_size].astype(np.int32)
                 if len(scb) < batch_size:
@@ -137,8 +161,8 @@ class Clip:
                 out = f(jnp.asarray(chunk), jnp.asarray(scb))
             else:
                 out = f(jnp.asarray(chunk))
-            outs.append(np.asarray(out[:n]))
-        return self.with_frames(np.concatenate(outs, axis=0))
+            outs.append(out[:n] if on_dev else np.asarray(out[:n]))
+        return self.with_frames(xp.concatenate(outs, axis=0))
 
     def map_video(self, fn: Callable, jit: bool = True) -> "Clip":
         """Apply a whole-video function (temporal kernels needing the full
@@ -148,7 +172,7 @@ class Clip:
             out = f(jnp.asarray(self.frames), jnp.asarray(self.sc.sc_prev.astype(np.int32)))
         else:
             out = f(jnp.asarray(self.frames), None)
-        return self.with_frames(np.asarray(out))
+        return self.with_frames(out if self.on_device else np.asarray(out))
 
 
 def from_frames(frames: np.ndarray, fps: float = 25.0) -> Clip:

@@ -137,10 +137,15 @@ def _normalize_luma(gray: jnp.ndarray, tht_black: float = 0.19,
     return jnp.where(gate, stretched, gray)
 
 
-def frame_stats(frames: np.ndarray, offset: int = 1, normalize: bool = False):
+def frame_stats(frames: np.ndarray, offset: int = 1, normalize: bool = False,
+                need_maps: bool = True):
     """Device phase: returns (gray_small[T,h,w], luma[T], diff[T], hist[T,256]).
 
-    ``frames``: (T, H, W, 3) RGB [0,1] (numpy or jnp).
+    ``frames``: (T, H, W, 3) RGB [0,1] (numpy or jnp — device arrays are
+    reduced on the accelerator; only the outputs transfer to host).
+    ``need_maps=False`` skips the gray-map/histogram transfers (they are
+    only consumed by the SSIM/Hellinger second pass) and returns ``None``
+    in their slots — per-frame scalars are the whole download then.
     """
     x = jnp.asarray(frames)
     gray = luma(x)
@@ -150,6 +155,8 @@ def frame_stats(frames: np.ndarray, offset: int = 1, normalize: bool = False):
     if normalize:
         gray_small = _normalize_luma(gray_small)
     lumas, diffs, hists = _stats_kernel(gray_small, jnp.asarray(offset))
+    if not need_maps:
+        return None, np.asarray(lumas), np.asarray(diffs), None
     return (
         np.asarray(gray_small),
         np.asarray(lumas),
@@ -339,8 +346,9 @@ class SceneDetector:
 
         t_offset = min(max(self.tht_offset, 1), 25)
         m_length = min(max(self.min_length, 1), 25)
+        need_maps = 0.0 < self.sc_tht_filter < 1.0 or m_length > 1
         grays, lumas, diffs, hists = frame_stats(
-            frames, t_offset, normalize=self.normalize)
+            frames, t_offset, normalize=self.normalize, need_maps=need_maps)
 
         use_custom = (
             self.sc_tht_filter > 0.0 or self.threshold < 0.10 or t_offset > 1

@@ -78,6 +78,43 @@ class TestColorizer:
         with pytest.raises(ValueError):
             havc_tpu.HAVC_colorizer(bw_clip, ddcolor_p=(3, 7, 1.0, 0.0, True))
 
+    def test_main_classic_ignores_scthreshold(self, bw_clip):
+        """ScThreshold only gates DeepEx reference-frame generation: the
+        classic path colorizes EVERY frame (the reference's non-DeepEx
+        branch calls HAVC_colorizer without sc_threshold,
+        __init__.py:853-860)."""
+        out = havc_tpu.HAVC_main(
+            bw_clip, Preset="veryfast", ColorModel="zhang(eccv16)",
+            ScThreshold=0.10, batch_size=4,
+        )
+        f = np.asarray(out.frames)
+        # every frame must carry chroma (gray input has |ab| == 0)
+        from havc_tpu.ops.colorspace import rgb_to_lab
+        import jax.numpy as jnp
+
+        ab = np.asarray(rgb_to_lab(jnp.asarray(f)))[..., 1:]
+        per_frame = np.abs(ab).mean(axis=(1, 2, 3))
+        assert (per_frame > 1e-4).all(), per_frame
+
+    def test_device_residency_preserved(self, bw_clip):
+        """Device in -> device out, bit-identical to the host path (the
+        round-3 zero-host-hop pipeline)."""
+        import jax
+
+        host = havc_tpu.HAVC_main(
+            bw_clip, Preset="veryfast", ColorModel="zhang(eccv16)",
+            batch_size=4,
+        )
+        dev = havc_tpu.HAVC_main(
+            bw_clip.to_device(), Preset="veryfast",
+            ColorModel="zhang(eccv16)", batch_size=4,
+        )
+        assert not host.on_device
+        assert dev.on_device
+        np.testing.assert_array_equal(
+            np.asarray(host.frames), np.asarray(dev.frames)
+        )
+
 
 class TestStabilizer:
     def test_full_chain(self, bw_clip):
