@@ -66,6 +66,25 @@ def _batched(clip: Clip, fn, batch_size: int = 8) -> Clip:
     return clip.map_batches(fn, batch_size=batch_size)
 
 
+def _batched2(clipa: Clip, clipb: Clip, fn, batch_size: int = 8):
+    """Two-clip batch map with edge-replicated tail padding.  Residency
+    follows ``clipa`` (device in -> device out)."""
+    T = clipa.num_frames
+    on_dev = clipa.on_device
+    outs = []
+    for s in range(0, T, batch_size):
+        a = jnp.asarray(clipa.frames[s : s + batch_size])
+        b = jnp.asarray(clipb.frames[s : s + batch_size])
+        n = a.shape[0]
+        if n < batch_size:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], batch_size - n, 0)])
+            b = jnp.concatenate([b, jnp.repeat(b[-1:], batch_size - n, 0)])
+        r = fn(a, b)
+        outs.append(r[:n] if on_dev else np.asarray(r)[:n])
+    joined = jnp.concatenate(outs) if on_dev else np.concatenate(outs)
+    return clipa.with_frames(joined)
+
+
 # --------------------------------------------------------------------------
 # HAVC_colorizer — the core colorize step (__init__.py:2290-2523)
 # --------------------------------------------------------------------------
@@ -428,17 +447,7 @@ def HAVC_merge(
             alm_p=alm_p, crt_p=crt_p, invert_clips=cmb_sw,
         ),
     )
-    T = clipa.num_frames
-    outs = []
-    for s in range(0, T, batch_size):
-        a = jnp.asarray(clipa.frames[s : s + batch_size])
-        b = jnp.asarray(clipb.frames[s : s + batch_size])
-        n = a.shape[0]
-        if n < batch_size:
-            a = jnp.concatenate([a, jnp.repeat(a[-1:], batch_size - n, 0)])
-            b = jnp.concatenate([b, jnp.repeat(b[-1:], batch_size - n, 0)])
-        outs.append(np.asarray(fn(a, b))[:n])
-    return clipa.with_frames(np.concatenate(outs))
+    return _batched2(clipa, clipb, fn, batch_size)
 
 
 def bw_tune_frames(
@@ -727,17 +736,7 @@ def HAVC_recover_clip_color(
             binary_mask=binary_mask, algo=algo,
         ),
     )
-    T = clip.num_frames
-    outs = []
-    for s in range(0, T, batch_size):
-        a = jnp.asarray(clip.frames[s : s + batch_size])
-        b = jnp.asarray(clip_color.frames[s : s + batch_size])
-        n = a.shape[0]
-        if n < batch_size:
-            a = jnp.concatenate([a, jnp.repeat(a[-1:], batch_size - n, 0)])
-            b = jnp.concatenate([b, jnp.repeat(b[-1:], batch_size - n, 0)])
-        outs.append(np.asarray(fn(a, b))[:n])
-    return clip.with_frames(np.concatenate(outs))
+    return _batched2(clip, clip_color, fn, batch_size)
 
 
 # --------------------------------------------------------------------------
@@ -1048,16 +1047,19 @@ def HAVC_clip_overlay(
         ),
     )
     T = base.num_frames
+    on_dev = base.on_device
     outs = []
     for s in range(0, T, batch_size):
         b = jnp.asarray(base.frames[s : s + batch_size])
         o = jnp.asarray(overlay_clip.frames[s : s + batch_size])
         if mask is not None:
             m = mask_frames[s : s + batch_size]
-            outs.append(np.asarray(fn(b, o, m)))
+            r = fn(b, o, m)
         else:
-            outs.append(np.asarray(fn(b, o)))
-    return base.with_frames(np.concatenate(outs))
+            r = fn(b, o)
+        outs.append(r if on_dev else np.asarray(r))
+    joined = jnp.concatenate(outs) if on_dev else np.concatenate(outs)
+    return base.with_frames(joined)
 
 
 def HAVC_colorizer_fast(

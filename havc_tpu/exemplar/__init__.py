@@ -866,7 +866,7 @@ def _prepare_work(clip: Clip, speed: str, batch: int = 8):
     _, meta = smart_resize_pad(
         jnp.zeros((1, clip.height, clip.width, 3), jnp.float32), h, w
     )
-    work = fn(jnp.asarray(np.asarray(clip.frames)))
+    work = fn(jnp.asarray(clip.frames))
     return work, (h, w), meta
 
 
@@ -883,7 +883,7 @@ def _restore_full(clip: Clip, colored_small: np.ndarray, meta) -> Clip:
         ),
     )
     out = np.asarray(
-        fn(jnp.asarray(np.asarray(clip.frames)), jnp.asarray(colored_small))
+        fn(jnp.asarray(clip.frames), jnp.asarray(colored_small))
     )
     return clip.with_frames(out)
 
@@ -1154,7 +1154,7 @@ def HAVC_restore_video(
             lambda: lambda x: resize(x, clip.height, clip.width, "spline36"),
         )
         clip_ref = clip_ref.with_frames(
-            np.asarray(fn(jnp.asarray(np.asarray(clip_ref.frames))))
+            np.asarray(fn(jnp.asarray(clip_ref.frames)))
         )
 
     freq = 1 if ref_merge > 0 else sc_min_freq

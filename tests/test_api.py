@@ -78,6 +78,18 @@ class TestColorizer:
         with pytest.raises(ValueError):
             havc_tpu.HAVC_colorizer(bw_clip, ddcolor_p=(3, 7, 1.0, 0.0, True))
 
+    def test_gated_colorizer_device_equals_host(self, bw_clip):
+        """SC-gated colorize with a device clip uses the on-device
+        gather/scatter path and must match the host path bit-for-bit."""
+        kw = dict(method=1, ddcolor_p=(3, 10, 1.0, 0.0, True),
+                  sc_threshold=0.1, sc_min_freq=3, batch_size=4)
+        host = havc_tpu.HAVC_colorizer(bw_clip, **kw)
+        dev = havc_tpu.HAVC_colorizer(bw_clip.to_device(), **kw)
+        assert dev.on_device and not host.on_device
+        np.testing.assert_array_equal(
+            np.asarray(host.frames), np.asarray(dev.frames)
+        )
+
     def test_main_classic_ignores_scthreshold(self, bw_clip):
         """ScThreshold only gates DeepEx reference-frame generation: the
         classic path colorizes EVERY frame (the reference's non-DeepEx
