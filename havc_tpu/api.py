@@ -648,8 +648,8 @@ def HAVC_extract_reference_frames(
     """Detect scenes + export ref_nnnnnn frames (__init__.py:3272-3352).
 
     ``sc_algo`` (reference ids): 0 = standard luma detector (+SSIM filter),
-    1 = edge-based detector, 2 = SCXvid-role simple detector (mapped to
-    the luma detector at threshold 0.10 — the xvid heuristic's role),
+    1 = edge-based detector, 2 = SCXvid keyframe heuristic (Xvid first-pass
+    intra-vs-inter block voting, scene.motion.scene_detect_xvid),
     3 = MVTools motion-vector SCDetection (scene.motion block-SAD;
     thresholds derived like the reference: thscd1 ~ sc_threshold*2500,
     thscd2 ~ sc_tht_ssim*300)."""
@@ -666,10 +666,13 @@ def HAVC_extract_reference_frames(
         }
         clip = HAVC_SceneDetectEdges(clip, **edge_kwargs)
     elif sc_algo == 2:
-        clip = HAVC_SceneDetect(
-            clip, sc_threshold=0.10,
-            sc_min_int=detect_kwargs.get("sc_min_int", 1),
+        from .scene.motion import scene_detect_xvid
+
+        flags = scene_detect_xvid(
+            np.asarray(clip.frames),
+            min_length=detect_kwargs.get("sc_min_int", 1),
         )
+        clip = clip.with_sc(flags)
     elif sc_algo == 3:
         from .scene.motion import scene_detect_motion
 

@@ -29,7 +29,7 @@ from ..ops.colorspace import luma
 from ..ops.resize import resize
 from .detect import SceneFlags, _work_size
 
-__all__ = ["motion_stats", "scene_detect_motion"]
+__all__ = ["motion_stats", "scene_detect_motion", "scene_detect_xvid"]
 
 BLOCK = 16
 
@@ -68,6 +68,64 @@ def motion_stats(frames: np.ndarray, search: int = 4):
     best = _motion_kernel(gray_small, search)
     lumas = gray_small.mean(axis=(-2, -1))
     return np.asarray(best), np.asarray(lumas)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _intra_deviation(gray: jnp.ndarray) -> jnp.ndarray:
+    """Per-block mean absolute deviation from the block mean (T, H/B, W/B).
+
+    The Xvid encoder's intra cost for a macroblock (``dev16`` in its motion
+    estimation): sum |pixel - block mean|."""
+    t, h, w = gray.shape
+    blocks = gray.reshape(t, h // BLOCK, BLOCK, w // BLOCK, BLOCK)
+    mean = blocks.mean(axis=(2, 4), keepdims=True)
+    return jnp.abs(blocks - mean).mean(axis=(2, 4))
+
+
+def scene_detect_xvid(
+    frames: np.ndarray,
+    kf_ratio: float = 0.50,
+    intra_bias: float = 2.0 / 255.0,
+    min_length: int = 1,
+    search: int = 4,
+) -> SceneFlags:
+    """Xvid-keyframe-style detection (the ``vs_sc_xvid`` role; reference:
+    vsdeoldify/vsslib/vsscdect.py:498-515 wraps the SCXvid plugin, which runs
+    the Xvid encoder's first-pass keyframe decision).
+
+    The Xvid rule, TPU-shaped: each 16x16 block codes *intra* when its
+    deviation from the block mean is cheaper than its best motion-compensated
+    SAD against the previous frame (``dev < sad - bias``); the frame is a
+    keyframe (scene change) when the intra fraction exceeds ``kf_ratio``.
+    Both cost maps come from one batched reduction over all frames.
+    """
+    x = jnp.asarray(frames)
+    gray = luma(x)
+    h, w = gray.shape[-2], gray.shape[-1]
+    nh, nw = _work_size(h, w)
+    nh, nw = (nh // BLOCK) * BLOCK, (nw // BLOCK) * BLOCK
+    gray_small = resize(gray[..., None], nh, nw, "bilinear")[..., 0]
+    inter = _motion_kernel(gray_small, search)
+    dev = _intra_deviation(gray_small)
+    T = len(frames)
+    intra_vote = np.asarray(dev < inter - intra_bias)
+    intra_frac = intra_vote.reshape(T, -1).mean(axis=1)
+    lumas = np.asarray(gray_small.mean(axis=(-2, -1)))
+    sc = np.zeros(T, dtype=np.int8)
+    last = None
+    for n in range(T):
+        if n == 0:
+            sc[n] = 1
+            last = 0
+        elif (n - last) >= min_length and intra_frac[n] > kf_ratio:
+            sc[n] = 1
+            last = n
+    return SceneFlags(
+        sc_prev=sc,
+        sc_next=np.zeros(T, np.int8),
+        luma=lumas.astype(np.float32),
+        ratio=intra_frac.astype(np.float32),
+    )
 
 
 def scene_detect_motion(

@@ -74,3 +74,48 @@ class TestDenoise:
         out = np.asarray(degrain(jnp.asarray(rgb), strength=1))
         assert out.shape == rgb.shape
         assert np.isfinite(out).all()
+
+
+class TestXvidDetect:
+    def test_detects_content_change(self, rng):
+        """Xvid keyframe rule: panning frames find motion matches (inter
+        wins -> no keyframe); a hard cut makes intra cheaper than any
+        motion match for most blocks -> keyframe."""
+        from havc_tpu.scene.motion import scene_detect_xvid
+
+        base1 = rng.random((80, 100), dtype=np.float32)
+        base2 = rng.random((80, 100), dtype=np.float32)
+        frames = []
+        for i in range(5):
+            frames.append(np.roll(base1, i * 2, axis=1)[:64, :64])
+        for i in range(5):
+            frames.append(np.roll(base2, i * 2, axis=1)[:64, :64])
+        clip = np.stack(frames)[..., None].repeat(3, axis=-1)
+        flags = scene_detect_xvid(clip, search=4)
+        assert flags.sc_prev[0] == 1
+        assert flags.sc_prev[5] == 1
+        assert flags.sc_prev[1:5].sum() == 0
+        assert flags.sc_prev[6:].sum() == 0
+
+    def test_static_clip_no_keyframes(self):
+        from havc_tpu.scene.motion import scene_detect_xvid
+
+        frame = np.linspace(0, 1, 64 * 64, dtype=np.float32).reshape(64, 64)
+        clip = np.stack([frame] * 6)[..., None].repeat(3, axis=-1)
+        flags = scene_detect_xvid(clip)
+        assert flags.sc_prev[0] == 1 and flags.sc_prev[1:].sum() == 0
+
+    def test_api_algo2_dispatch(self, tmp_path):
+        import havc_tpu
+        from havc_tpu.clip import Clip
+
+        rng = np.random.default_rng(7)
+        a = rng.random((4, 64, 64, 3)).astype(np.float32)
+        b = rng.random((4, 64, 64, 3)).astype(np.float32)
+        clip = Clip(np.concatenate([a, b]))
+        files = havc_tpu.HAVC_extract_reference_frames(
+            clip, str(tmp_path), sc_algo=2
+        )
+        names = sorted(f.split("/")[-1] for f in files)
+        assert names[0] == "ref_000000.jpg"
+        assert "ref_000004.jpg" in names
