@@ -877,11 +877,15 @@ def HAVC_main_presets(
         from .exemplar import HAVC_cmnet2
         from .scene.detect import SceneFlags
 
+        # reference call form (__init__.py:888-894): ref_merge=color_temp
+        # (weights 0.3..0.7 via refmerge_weight), separate scene detection
+        # of the video at ref_thresh=0.10 drives ref updates + merging
         ref = colored.with_sc(SceneFlags.every(colored.num_frames, freq=1))
-        ref_weight = {1: 0.9, 2: 0.8, 3: 0.7, 4: 0.6, 5: 0.5}[ct_id]
         colored = HAVC_cmnet2(
-            clip, ref, ref_weight=ref_weight, vivid=True,
-            dark=True, dark_p=(0.2, 0.8), smooth=True,
+            clip, ref, render_speed="medium", render_vivid=True,
+            ref_merge=ct_id, dark=True, dark_p=(0.2, 0.8), ref_thresh=0.10,
+            encode_mode=0, max_memory_frames=0, ref_freq=0, ref_norm=True,
+            smooth=True, smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
             engine_config=engine_config,
         )
     if lut is not None:
@@ -1004,9 +1008,10 @@ def HAVC_main(
 
             ref = merged.with_sc(SceneFlags.every(merged.num_frames, freq=1))
             merged = HAVC_cmnet2(
-                clip, ref, ref_weight={1: 0.9, 2: 0.8, 3: 0.7, 4: 0.6,
-                                       5: 0.5}[ct_id],
-                vivid=True, dark=True, dark_p=(0.2, 0.8), smooth=True,
+                clip, ref, render_speed="medium", render_vivid=True,
+                ref_merge=ct_id, dark=True, dark_p=(0.2, 0.8),
+                ref_thresh=0.10, encode_mode=0, max_memory_frames=0,
+                ref_freq=0, ref_norm=True, smooth=True,
                 smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
                 colormap="300:360|0.8,0.1",
             )
@@ -1094,8 +1099,8 @@ def HAVC_colorizer_fast(
     )
     return HAVC_deepex(
         clip, ref, ex_model=ex_model, render_speed=render_speed,
-        engine_config=engine_config, vivid=True, colormap=chroma_adjust,
-        batch_size=batch_size,
+        engine_config=engine_config, render_vivid=True,
+        colormap=chroma_adjust, batch_size=batch_size,
     )
 
 

@@ -115,7 +115,7 @@ class ColorMNetEngine:
     """
 
     def __init__(self, config: str = "full", work_size=(224, 384), seed: int = 0,
-                 dtype=None):
+                 dtype=None, max_mem: int = 0):
         from ..models import colormnet as cm
         from ..models.memory import MemoryConfig
 
@@ -137,16 +137,21 @@ class ColorMNetEngine:
                 key_dim=self.key_dim, value_dim=self.value_dim,
                 tokens_per_frame=self.h16 * self.w16,
                 max_mt_frames=3, min_mt_frames=1,
-                num_prototypes=8, lt_capacity=64, top_k=8,
+                num_prototypes=8, top_k=8,
+                lt_capacity=int(max_mem) if max_mem > 0 else 64,
             )
         else:
             # reference driver config (colormnet_render.py:116-130):
             # max_mt=10, min_mt=5, P=128, top_k=30, mem_every=5, LT_max =
             # max_memory_frames tokens (DEF_MAX_MEMORY_FRAMES cap)
+            # max_mem > 0 bounds the long-term store the way the driver's
+            # max_memory_frames -> max_long_term_elements does
+            # (colormnet_render.py:119-120)
             self.mem_cfg = MemoryConfig(
                 key_dim=self.key_dim,
                 value_dim=self.value_dim,
                 tokens_per_frame=self.h16 * self.w16,
+                **({"lt_capacity": int(max_mem)} if max_mem > 0 else {}),
             )
 
         self.key_encoder = cm.KeyEncoder(resnet=c["resnet"], vit=c["vit"])
@@ -887,125 +892,62 @@ def _restore_full(clip: Clip, colored_small: np.ndarray, meta) -> Clip:
     )
     return clip.with_frames(out)
 
+# refmerge_weight table (reference __init__.py:1631): DeepExRefMerge /
+# ref_merge level -> weight of the HAVC reference in the blend
+REFMERGE_WEIGHT = [0.0, 0.3, 0.4, 0.5, 0.6, 0.7]
 
-def HAVC_deepex(
+
+def _prefilter_refs(ref_frames, dark, dark_p, smooth, smooth_p, colormap):
+    """Reference-frame pre-filters (colormap/dark/smooth,
+    __init__.py:1652-1668)."""
+    if not (dark or smooth or colormap not in ("none", "")):
+        return ref_frames
+    from ..filters import chroma_bright_tweak, colormap_filter, dark_tweak
+    from ..presets import get_colormap
+
+    def prefilter(x):
+        if dark:
+            x = dark_tweak(x, dark_threshold=dark_p[0], dark_amount=dark_p[1])
+        if smooth:
+            x = chroma_bright_tweak(
+                x, black_threshold=smooth_p[0], white_threshold=smooth_p[1],
+                dark_sat=smooth_p[2], dark_bright=-smooth_p[3],
+            )
+        if colormap not in ("none", ""):
+            cm = get_colormap(colormap, "light") if "->" in colormap else colormap
+            x = colormap_filter(x, cm)
+        return x
+
+    fn = cached_jit(
+        ("deepex_prefilter", dark, tuple(dark_p[:2]), smooth,
+         tuple(smooth_p[:4]), colormap),
+        lambda: prefilter,
+    )
+    return np.asarray(fn(jnp.asarray(ref_frames)))
+
+
+def _exemplar_dispatch(
     clip: Clip,
-    clip_ref: Optional[Clip] = None,
-    method: int = 0,
-    render_speed: str = "medium",
-    ex_model: int = 0,
-    enable_resize: bool = True,
-    sc_framedir: Optional[str] = None,
-    only_ref_frames: bool = False,
-    dark: bool = False,
-    dark_p=(0.2, 0.8),
-    smooth: bool = False,
-    smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
-    colormap: str = "none",
-    ref_weight: float = 1.0,
-    vivid: bool = False,
-    engine_config: Optional[str] = None,
-    batch_size: int = 8,
-) -> Clip:
-    """Exemplar-based colorization front-end (HAVC_deepex,
-    __init__.py:1421-1735).
+    ref_frames: np.ndarray,  # (T, H, W, 3) full-size reference frames
+    is_ref: np.ndarray,  # (T,) bool — propagation reference positions
+    render_speed: str,
+    ex_model: int,
+    frame_propagate: bool,
+    render_vivid: bool,
+    ref_weight: float,
+    merge_enabled: bool,
+    ref_merge: int,
+    max_memory_frames: int,
+    engine_config: Optional[str],
+) -> np.ndarray:
+    """Shared engine dispatch: work-res prep -> propagate -> ref-merge
+    blend -> colored frames at work resolution (reference HAVC_deepex
+    engine match, __init__.py:1666-1727 + the vs_colormnet merge loop,
+    colormnet/__init__.py:70-101).
 
-    ``method`` (reference ids, __init__.py:1431-1438):
-        0 = HAVC refs same as video       1 = HAVC + RF same as video
-        2 = HAVC + RF different           3 = external RF same as video
-        4 = external RF different         5 = external ClipRef same
-        6 = external ClipRef different
-    Methods 0-2 take ``clip_ref`` (HAVC-colorized, flags attached); 3-4
-    read ``sc_framedir``; 5-6 take an external ``clip_ref`` video (scene
-    detection run on it here).  ``ex_model``: 0 = ColorMNet, 1 = DeepEx,
-    2 = DeepRemaster, 3 = Deep-CMnet (DeepEx merged with ColorMNet).
-
-    ``render_vivid`` semantics per engine (__init__.py:1445-1449):
-    ColorMNet resets its frame memory at each reference (reset only —
-    colormnet/__init__.py:54,162); DeepEx +25% saturation
-    (deepex/__init__.py:185); DeepRemaster pre hue+3/sat x1.30 on the
-    references and post hue+5/sat x1.15 on the output
-    (remaster/__init__.py:92-93,197-198).
-
-    ``engine_config``: None/'auto' resolves to the published 'full'
-    geometry when converted weights are configured (set_weights_dir),
-    else the dev-scale 'micro'.
+    Returns ``(colored_small, pad_meta)`` — caller restores full size.
     """
-    engine_config = resolve_engine_config(engine_config)
-    if method in (0, 1, 2) and clip_ref is None:
-        raise ValueError(f"HAVC_deepex: method {method} requires clip_ref")
-    if method in (3, 4) and sc_framedir is None:
-        raise ValueError(f"HAVC_deepex: method {method} requires sc_framedir")
-    if method in (5, 6) and clip_ref is None:
-        raise ValueError(f"HAVC_deepex: method {method} requires clip_ref (external video)")
-    if method in (2, 6) and ref_weight < 1.0:
-        raise ValueError("HAVC_deepex: RefMerge cannot be used with method in (2, 6)")
-    if clip_ref is None and sc_framedir is None:
-        raise ValueError("HAVC_deepex: no reference source (clip_ref/sc_framedir)")
-
-    if method in (5, 6) and clip_ref is not None and clip_ref.sc is None:
-        # external reference video: detect scenes on the colored reference
-        clip_ref = clip_ref.with_sc(
-            scene_detect(np.asarray(clip_ref.frames), threshold=0.10)
-        )
-
-    if sc_framedir is not None and clip_ref is None:
-        from ..io import read_reference_dir
-
-        refs_map = read_reference_dir(sc_framedir)
-        T = clip.num_frames
-        ref_frames_arr = np.asarray(clip.frames).copy()
-        flags = SceneFlags.from_frame_list(T, sorted(refs_map.keys()))
-        for n, img in refs_map.items():
-            if n < T:
-                img_r = np.asarray(
-                    resize(jnp.asarray(img), clip.height, clip.width, "lanczos")
-                )
-                ref_frames_arr[n] = img_r
-        clip_ref = clip.with_frames(ref_frames_arr).with_sc(flags)
-
-    if clip_ref.sc is None:
-        raise ValueError(
-            "HAVC_deepex: reference clip has no scene-change flags "
-            "(run HAVC_colorizer with sc_threshold/sc_min_freq or HAVC_SceneDetect)"
-        )
-
-    if only_ref_frames and sc_framedir is not None:
-        from ..io import export_reference_frames
-
-        export_reference_frames(clip_ref, sc_framedir)
-        return clip_ref
-
-    is_ref = clip_ref.sc.sc_prev.astype(bool).copy()
-    if len(is_ref) and not is_ref[0]:
-        is_ref[0] = True
-
-    # ref-frame pre-filters (colormap/dark/smooth, __init__.py:1652-1668)
-    ref_frames = np.asarray(clip_ref.frames)
-    if dark or smooth or colormap not in ("none", ""):
-        from ..filters import chroma_bright_tweak, colormap_filter, dark_tweak
-        from ..presets import get_colormap
-
-        def prefilter(x):
-            if dark:
-                x = dark_tweak(x, dark_threshold=dark_p[0], dark_amount=dark_p[1])
-            if smooth:
-                x = chroma_bright_tweak(
-                    x, black_threshold=smooth_p[0], white_threshold=smooth_p[1],
-                    dark_sat=smooth_p[2], dark_bright=-smooth_p[3],
-                )
-            if colormap not in ("none", ""):
-                cm = get_colormap(colormap, "light") if "->" in colormap else colormap
-                x = colormap_filter(x, cm)
-            return x
-
-        fn = cached_jit(
-            ("deepex_prefilter", dark, tuple(dark_p[:2]), smooth,
-             tuple(smooth_p[:4]), colormap),
-            lambda: prefilter,
-        )
-        ref_frames = np.asarray(fn(jnp.asarray(ref_frames)))
-    if vivid and ex_model == 2:
+    if render_vivid and ex_model == 2:
         # DeepRemaster pre-tweak on the references: hue +3, sat x1.30
         # (remaster/__init__.py:92-93).  ColorMNet vivid is reset-only
         # (colormnet/__init__.py:54) — no reference tweak.
@@ -1025,17 +967,16 @@ def HAVC_deepex(
         lambda: lambda x: smart_resize_pad(x, wh, ww, "spline64")[0],
     )(jnp.asarray(ref_frames))
 
-    # "same as video" methods propagate the video's own (colorized) frames;
-    # "different" methods insert the exemplar image's own key/value
-    # (reference method table, __init__.py:1431-1438 + step vs
-    # step_AnyExemplar dispatch)
-    frame_propagate = method in (0, 1, 3, 5)
-
-    def _run_colormnet():
+    def _run_colormnet(vivid):
         # the engine runs at the reference's pad_divide_by(112) geometry;
         # colormnet_propagate pads in normalized-LAB space and unpads back
         ph, pw = pad112_geometry(wh, ww)[:2]
-        engine = _get_engine("colormnet", config=engine_config, work_size=(ph, pw))
+        kw = dict(config=engine_config, work_size=(ph, pw))
+        if max_memory_frames > 0:
+            # max_memory_frames -> max_long_term_elements (LT_max;
+            # colormnet_render.py:119-120)
+            kw["max_mem"] = int(max_memory_frames)
+        engine = _get_engine("colormnet", **kw)
         # device-resident: LAB split/join stays on chip, only the final
         # colorized frames hop back to host
         prep = cached_jit(
@@ -1057,7 +998,7 @@ def HAVC_deepex(
         )
         return np.asarray(join(work_frames, jnp.asarray(ab)))
 
-    def _run_deepex():
+    def _run_deepex(vivid):
         engine = _get_engine("deepex", speed=render_speed)
         dx_frames = np.asarray(
             resize(jnp.asarray(work_frames), engine.h, engine.w, "spline64")
@@ -1069,20 +1010,23 @@ def HAVC_deepex(
             engine, dx_frames, dx_refs, is_ref,
             frame_propagate=frame_propagate, vivid=vivid,
         )
-        out = np.asarray(resize(jnp.asarray(out), wh, ww, "spline64"))
-        return out
+        return np.asarray(resize(jnp.asarray(out), wh, ww, "spline64"))
 
     if ex_model == 0:
-        colored_small = _run_colormnet()
+        colored_small = _run_colormnet(render_vivid)
     elif ex_model == 1:
-        colored_small = _run_deepex()
+        colored_small = _run_deepex(render_vivid)
     elif ex_model == 3:
-        # Deep-CMnet hybrid: DeepEx merged 50/50 with ColorMNet
-        # (__init__.py HAVC_deepex hybrid dispatch)
-        a = _run_colormnet()
-        b = _run_deepex()
-        colored_small = ((a + b) * 0.5).astype(np.float32)
+        # Deep-CMnet hybrid: ColorMNet merged with Deep-Exemplar at
+        # max(refmerge_weight[ref_merge], 0.3) — the weight applies to the
+        # DeepEx clip, and DeepEx always runs render_vivid=True
+        # (__init__.py:1706-1721 + vs_simple_merge weight convention)
+        a = _run_colormnet(render_vivid)
+        b = _run_deepex(True)
+        mw = max(REFMERGE_WEIGHT[ref_merge], 0.3)
+        colored_small = (a * (1.0 - mw) + b * mw).astype(np.float32)
     elif ex_model == 2:
+        buf = int(max_memory_frames) if max_memory_frames > 0 else 20
         engine = _get_engine("remaster")
         # sliding past/future reference window over ALL scene-change refs
         # (remaster_render.ref_buffer_adjust)
@@ -1090,8 +1034,9 @@ def HAVC_deepex(
         colored_small = remaster_propagate(
             engine, np.asarray(work_frames),
             np.asarray(work_refs)[is_ref], ref_positions=ref_pos,
+            ref_buffer_size=buf,
         )
-        if vivid:
+        if render_vivid:
             fn = cached_jit(
                 ("vivid_post",),
                 lambda: lambda x: chroma_tweak(
@@ -1102,49 +1047,327 @@ def HAVC_deepex(
     else:
         raise ValueError(f"HAVC_deepex: unsupported ex_model {ex_model}")
 
-    # ref-merge: non-scenechange frames blended with the HAVC reference at
-    # ref_weight (vs_colormnet ref-merge variant, colormnet/__init__.py:48)
-    if ref_weight < 1.0:
-        blend = np.asarray(work_refs) * (1 - ref_weight) + colored_small * ref_weight
+    # ref-merge: frames that are NOT scene changes are blended with the
+    # per-frame HAVC reference at ref_weight — color*(1-w) + ref*w
+    # (colormnet_clip_color_merge, colormnet/__init__.py:96-101
+    # image_weighted_merge convention imfilters.py:113-122); scene-change
+    # frames pass through unmerged
+    if merge_enabled and 0.0 < ref_weight < 1.0:
+        blend = (colored_small * (1.0 - ref_weight)
+                 + np.asarray(work_refs) * ref_weight)
         colored_small = np.where(
             is_ref[:, None, None, None], colored_small, blend
+        ).astype(np.float32)
+
+    return colored_small, pad_meta
+
+
+def HAVC_deepex(
+    clip: Clip,
+    clip_ref: Optional[Clip] = None,
+    method: int = 0,
+    render_speed: str = "medium",
+    render_vivid: bool = True,
+    ref_merge: int = 0,
+    sc_framedir: Optional[str] = None,
+    ref_norm: bool = False,
+    only_ref_frames: bool = False,
+    dark: bool = False,
+    dark_p=(0.2, 0.8),
+    smooth: bool = False,
+    smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
+    colormap: str = "none",
+    ref_weight: Optional[float] = None,
+    ref_thresh: Optional[float] = None,
+    ref_freq: Optional[int] = None,
+    ex_model: int = 0,
+    encode_mode: int = 0,
+    max_memory_frames: int = 0,
+    torch_dir: Optional[str] = None,
+    enable_resize: bool = True,
+    engine_config: Optional[str] = None,
+    batch_size: int = 8,
+    vivid: Optional[bool] = None,
+) -> Clip:
+    """Exemplar-based colorization front-end (HAVC_deepex,
+    __init__.py:1421-1735) — full reference parameter surface.
+
+    ``method`` (reference ids, __init__.py:1431-1438):
+        0 = HAVC refs same as video       1 = HAVC + RF same as video
+        2 = HAVC + RF different           3 = external RF same as video
+        4 = external RF different         5 = external ClipRef same
+        6 = external ClipRef different
+    Methods 0-2 take ``clip_ref`` (HAVC-colorized, flags attached; with
+    ``sc_framedir`` set, methods 1-2 merge override frames from the
+    directory into the references); 3-4 read ``sc_framedir``; 5-6 delegate
+    to HAVC_restore_video (reference __init__.py:1594).  ``ex_model``:
+    0 = ColorMNet, 1 = DeepEx, 2 = DeepRemaster, 3 = Deep-CMnet hybrid.
+
+    ``ref_merge`` (0-5) enables blending of non-scene-change frames with
+    the per-frame HAVC reference at refmerge_weight[ref_merge]
+    (0.3/0.4/0.5/0.6/0.7); requires references at every frame
+    (sc_frequency == 1).  The scene-change mask for both the propagation
+    references and the merge comes from a SEPARATE detection of the video
+    at ``ref_thresh``/``ref_freq``/``ref_norm`` (__init__.py:1630-1642 +
+    colormnet/__init__.py:70-101).
+
+    ``render_vivid`` semantics per engine (__init__.py:1445-1449):
+    ColorMNet resets its frame memory at each reference (reset only —
+    colormnet/__init__.py:54,162); DeepEx +25% saturation
+    (deepex/__init__.py:185); DeepRemaster pre hue+3/sat x1.30 on the
+    references and post hue+5/sat x1.15 on the output
+    (remaster/__init__.py:92-93,197-198).  Forced False for ColorMNet
+    models when ``max_memory_frames`` > 0 (__init__.py:1692-1693).
+
+    ``max_memory_frames``: ColorMNet long-term capacity
+    (max_long_term_elements) / DeepRemaster reference buffer size.
+    ``encode_mode`` (0 remote / 1 local / 2 all-refs) selected a server
+    strategy in the reference; all modes map to the same jitted scan here
+    (no RPC, no VRAM watchdog).  ``torch_dir`` re-points the converted
+    weights directory (the reference re-points torch.hub).
+
+    TPU-native extras: ``engine_config`` (None/'auto' resolves to the
+    published 'full' geometry when converted weights are configured, else
+    the dev-scale 'micro'), ``batch_size``, and ``vivid`` (legacy alias
+    of render_vivid).
+    """
+    if vivid is not None:
+        render_vivid = vivid
+    engine_config = resolve_engine_config(engine_config)
+    if torch_dir is not None:
+        from ..engines import set_weights_dir
+
+        set_weights_dir(torch_dir)
+
+    if ref_merge not in range(6):
+        raise ValueError("HAVC_deepex: ref_merge must be in range [0-5]")
+    if ref_merge > 0 and method not in (0, 1, 5) and ex_model != 3:
+        raise ValueError(
+            "HAVC_deepex: method must be in (0, 1, 5) to be used with "
+            "ref_merge > 0"
+        )
+    if method in (2, 6) and ref_weight is not None and ref_weight < 1.0:
+        raise ValueError("HAVC_deepex: RefMerge cannot be used with method in (2, 6)")
+    if encode_mode not in (0, 1, 2):
+        raise ValueError("HAVC_deepex: encode_mode must be in (0, 1, 2)")
+    if method in (0, 1, 2) and clip_ref is None:
+        raise ValueError(f"HAVC_deepex: method {method} requires clip_ref")
+    if method in (3, 4) and sc_framedir is None:
+        raise ValueError(f"HAVC_deepex: method {method} requires sc_framedir")
+    if method in (5, 6) and clip_ref is None:
+        raise ValueError(
+            f"HAVC_deepex: method {method} requires clip_ref (external video)"
+        )
+    if clip_ref is None and sc_framedir is None:
+        raise ValueError("HAVC_deepex: no reference source (clip_ref/sc_framedir)")
+
+    if method in (5, 6):
+        # external ClipRef: the reference delegates to HAVC_restore_video
+        # (__init__.py:1594-1595)
+        return HAVC_restore_video(
+            clip, clip_ref, method=method, render_speed=render_speed,
+            ex_model=ex_model, ref_merge=ref_merge, ref_weight=ref_weight,
+            ref_thresh=ref_thresh, ref_freq=ref_freq, ref_norm=ref_norm,
+            max_memory_frames=max_memory_frames, render_vivid=render_vivid,
+            encode_mode=encode_mode, engine_config=engine_config,
+            batch_size=batch_size,
         )
 
+    dir_refs = None
+    if sc_framedir is not None and method in (1, 2, 3, 4):
+        from ..io import read_reference_dir
+
+        dir_refs = read_reference_dir(sc_framedir)
+
+    if dir_refs is not None and clip_ref is None:
+        # methods 3/4: references come ONLY from the directory
+        T = clip.num_frames
+        ref_frames_arr = np.asarray(clip.frames).copy()
+        flags = SceneFlags.from_frame_list(T, sorted(dir_refs.keys()))
+        for n, img in dir_refs.items():
+            if n < T:
+                ref_frames_arr[n] = np.asarray(
+                    resize(jnp.asarray(img), clip.height, clip.width, "lanczos")
+                )
+        if method == 4:  # "RF different from video" marks refs ext
+            flags.sc_next[flags.sc_prev.astype(bool)] = 1
+        clip_ref = clip.with_frames(ref_frames_arr).with_sc(flags)
+    elif dir_refs is not None and method in (1, 2):
+        # methods 1/2: directory frames OVERRIDE/extend the HAVC references
+        # (SceneDetectFromDir merge_ref_frame + vs_ext_reference_clip,
+        # __init__.py:1647-1674)
+        ref_frames_arr = np.asarray(clip_ref.frames).copy()
+        flags = clip_ref.sc
+        if flags is None:
+            raise ValueError(
+                "HAVC_deepex: reference clip has no scene-change flags "
+                "(run HAVC_colorizer with sc_threshold/sc_min_freq or "
+                "HAVC_SceneDetect)"
+            )
+        sc_prev = flags.sc_prev.copy()
+        sc_next = flags.sc_next.copy()
+        for n, img in dir_refs.items():
+            if n < clip.num_frames:
+                ref_frames_arr[n] = np.asarray(
+                    resize(jnp.asarray(img), clip.height, clip.width, "lanczos")
+                )
+                sc_prev[n] = 1
+                if method == 2:  # ext refs propagate as exemplar inserts
+                    sc_next[n] = 1
+        flags = SceneFlags(
+            sc_prev=sc_prev, sc_next=sc_next, luma=flags.luma,
+            ratio=flags.ratio, threshold=flags.threshold,
+            frequency=flags.frequency,
+        )
+        clip_ref = clip_ref.with_frames(ref_frames_arr).with_sc(flags)
+
+    if clip_ref.sc is None:
+        raise ValueError(
+            "HAVC_deepex: reference clip has no scene-change flags "
+            "(run HAVC_colorizer with sc_threshold/sc_min_freq or HAVC_SceneDetect)"
+        )
+
+    if only_ref_frames and sc_framedir is not None and method == 0:
+        from ..io import export_reference_frames
+
+        export_reference_frames(clip_ref, sc_framedir)
+        return clip_ref
+    if only_ref_frames:
+        return clip_ref
+
+    # ref-merge setup (__init__.py:1630-1642): needs refs at EVERY frame
+    # (sc_frequency == 1); the real scene-change mask comes from a separate
+    # detection of the video
+    sc_frequency = int(getattr(clip_ref.sc, "frequency", 0) or 0)
+    enable_refmerge = ref_merge > 0 and sc_frequency == 1
+    if enable_refmerge:
+        if ref_weight is None:
+            ref_weight = REFMERGE_WEIGHT[ref_merge]
+        if ref_thresh is None:
+            ref_thresh = 0.10
+        if ref_freq is None or ref_freq == 1:
+            ref_freq = 0
+        clip_sc = scene_detect(
+            np.asarray(clip.frames), threshold=ref_thresh,
+            frequency=ref_freq, normalize=ref_norm,
+        )
+        sc_mask = clip_sc.sc_prev.astype(bool).copy()
+        if dir_refs is not None and method in (1, 2):
+            for n in dir_refs:
+                if n < len(sc_mask):
+                    sc_mask[n] = True
+        is_ref = sc_mask
+    else:
+        ref_weight = 1.0
+        is_ref = clip_ref.sc.sc_prev.astype(bool).copy()
+    if len(is_ref) and not is_ref[0]:
+        is_ref[0] = True
+
+    # ref-frame pre-filters (colormap/dark/smooth, __init__.py:1652-1668)
+    ref_frames = _prefilter_refs(
+        np.asarray(clip_ref.frames), dark, dark_p, smooth, smooth_p, colormap
+    )
+
+    # "same as video" methods propagate the video's own (colorized) frames;
+    # "different" methods insert the exemplar image's own key/value
+    # (reference method table, __init__.py:1431-1438 + step vs
+    # step_AnyExemplar dispatch)
+    frame_propagate = method in (0, 1, 3, 5)
+
+    if ex_model in (0, 3) and max_memory_frames > 0:
+        # a bounded memory cannot survive resets (__init__.py:1692-1693)
+        render_vivid = False
+
+    colored_small, pad_meta = _exemplar_dispatch(
+        clip, ref_frames, is_ref, render_speed, ex_model, frame_propagate,
+        render_vivid, ref_weight, enable_refmerge, ref_merge,
+        max_memory_frames, engine_config,
+    )
     out = _restore_full(clip, colored_small, pad_meta)
     return out.with_sc(clip_ref.sc)
 
 
-def HAVC_cmnet2(clip: Clip, clip_ref: Optional[Clip] = None, **kwargs) -> Clip:
+def HAVC_cmnet2(
+    clip: Clip,
+    clip_ref: Optional[Clip] = None,
+    render_speed: str = "medium",
+    render_vivid: bool = True,
+    ref_merge: int = 0,
+    ref_norm: bool = False,
+    dark: bool = False,
+    dark_p=(0.2, 0.8),
+    smooth: bool = False,
+    smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
+    colormap: str = "none",
+    ref_weight: Optional[float] = None,
+    ref_thresh: Optional[float] = None,
+    ref_freq: Optional[int] = None,
+    encode_mode: int = 0,
+    max_memory_frames: int = 0,
+    torch_dir: Optional[str] = None,
+    **kwargs,
+) -> Clip:
     """Second ColorMNet instance (HAVC_cmnet2, __init__.py:1737-1957).
 
     In the reference this pins a second XML-RPC server so two inference
-    streams can run concurrently; here it is simply a separate engine
-    (distinct params/memory) — same API, used as the ColorTemp temporal
-    re-colorization stabilizer.
+    streams can run concurrently; here it is simply a separate invocation
+    of the same jitted engine (per-call memory state) — same API, used as
+    the ColorTemp temporal re-colorization stabilizer.
     """
-    kwargs.setdefault("ex_model", 0)
-    return HAVC_deepex(clip, clip_ref, **kwargs)
+    return HAVC_deepex(
+        clip, clip_ref, method=0, render_speed=render_speed,
+        render_vivid=render_vivid, ref_merge=ref_merge, ref_norm=ref_norm,
+        dark=dark, dark_p=dark_p, smooth=smooth, smooth_p=smooth_p,
+        colormap=colormap, ref_weight=ref_weight, ref_thresh=ref_thresh,
+        ref_freq=ref_freq, ex_model=0, encode_mode=encode_mode,
+        max_memory_frames=max_memory_frames, torch_dir=torch_dir, **kwargs,
+    )
 
 
 def HAVC_restore_video(
     clip: Clip,
     clip_ref: Clip,
-    ex_model: int = 0,
+    method: int = 6,
     render_speed: str = "medium",
+    ex_model: int = 0,
     ref_merge: int = 0,
-    sc_threshold: float = 0.10,
-    sc_min_freq: int = 0,
+    ref_weight: Optional[float] = None,
+    ref_thresh: Optional[float] = None,
+    ref_freq: Optional[int] = None,
+    ref_norm: bool = False,
+    max_memory_frames: int = 0,
+    render_vivid: bool = True,
+    encode_mode: int = 0,
     encode_first: bool = True,
-    **kwargs,
+    torch_dir: Optional[str] = None,
+    engine_config: Optional[str] = None,
+    batch_size: int = 8,
 ) -> Clip:
     """Re-colorize a B&W clip from an externally colored clip
     (HAVC_restore_video, __init__.py:1959-2127): scene-detect the *colored*
     reference, copy the flags onto the B&W clip, then run the chosen
-    exemplar engine with the colored frames as references.
+    exemplar engine with the colored frames as references and
+    frame_propagate=False (ref_same_as_video is always False here,
+    __init__.py:2098).
+
+    ``ref_merge`` > 0 (method 5 only): references at every frame, a
+    separate detection of the reference at ``ref_thresh``/``ref_freq``
+    provides the scene-change mask, and non-scene-change frames are
+    blended with the reference at refmerge_weight[ref_merge]
+    (__init__.py:2074-2084).
 
     ``encode_first`` selected server 1 vs 2 in the reference (for two
-    parallel jobs); both map to independent engines here.
+    parallel jobs); both map to the same engine here.  ``torch_dir``
+    re-points the converted-weights directory.
     """
+    if method not in (5, 6):
+        raise ValueError("HAVC: Video restore is supported only with methods: 5, 6")
+    if torch_dir is not None:
+        from ..engines import set_weights_dir
+
+        set_weights_dir(torch_dir)
+    engine_config = resolve_engine_config(engine_config)
+
     if clip_ref.num_frames != clip.num_frames:
         t = min(clip_ref.num_frames, clip.num_frames)
         clip, clip_ref = clip[:t], clip_ref[:t]
@@ -1157,56 +1380,134 @@ def HAVC_restore_video(
             np.asarray(fn(jnp.asarray(clip_ref.frames)))
         )
 
-    freq = 1 if ref_merge > 0 else sc_min_freq
-    flags = scene_detect(
-        np.asarray(clip_ref.frames), threshold=sc_threshold, frequency=freq
-    )
+    if ref_thresh is None or ref_thresh == 0:
+        ref_thresh = 0.10
+    if ref_freq is None or ref_freq == 0:
+        # DeepRemaster needs periodic refs (DEF_MIN_FREQ, constants.py:61)
+        ref_freq = 10 if ex_model == 2 else 0
+
+    ref_arr = np.asarray(clip_ref.frames)
+    if ref_merge == 0 or method == 6:
+        flags = scene_detect(
+            ref_arr, threshold=ref_thresh, frequency=ref_freq,
+            normalize=ref_norm,
+        )
+        ref_weight = 1.0
+        is_ref = flags.sc_prev.astype(bool).copy()
+        merge_enabled = False
+    else:
+        if ref_weight is None or ref_weight == 0:
+            ref_weight = REFMERGE_WEIGHT[ref_merge]
+        flags = SceneFlags.every(clip_ref.num_frames, freq=1)
+        clip_sc = scene_detect(
+            ref_arr, threshold=ref_thresh, frequency=ref_freq,
+            normalize=ref_norm,
+        )
+        is_ref = clip_sc.sc_prev.astype(bool).copy()
+        merge_enabled = True
+    if len(is_ref) and not is_ref[0]:
+        is_ref[0] = True
     clip_ref = clip_ref.with_sc(flags)
-    ref_weight = {0: 1.0, 1: 1.0, 2: 0.9, 3: 0.8, 4: 0.7}.get(ref_merge, 1.0)
-    return HAVC_deepex(
-        clip, clip_ref, ex_model=ex_model, render_speed=render_speed,
-        ref_weight=ref_weight, **kwargs,
+
+    if ex_model in (0, 3) and max_memory_frames > 0:
+        render_vivid = False
+
+    colored_small, pad_meta = _exemplar_dispatch(
+        clip, ref_arr, is_ref, render_speed, ex_model,
+        frame_propagate=False, render_vivid=render_vivid,
+        ref_weight=ref_weight, merge_enabled=merge_enabled,
+        ref_merge=ref_merge, max_memory_frames=max_memory_frames,
+        engine_config=engine_config,
     )
+    out = _restore_full(clip, colored_small, pad_meta)
+    return out.with_sc(clip_ref.sc)
 
 
 def HAVC_DeepRemaster(
     clip: Clip,
+    length: int = 2,
+    render_vivid: bool = False,
     ref_dir: Optional[str] = None,
+    ref_minedge: int = 256,
+    frame_mindim: int = 320,
+    ref_buffer_size: int = 20,
+    device_index: int = 0,
+    inference_mode: bool = False,
+    mode: int = 0,
     clip_ref: Optional[Clip] = None,
     render_speed: str = "medium",
-    ref_buffer_size: int = 8,
-    **kwargs,
 ) -> Clip:
     """Folder/clip-based DeepRemaster (HAVC_DeepRemaster,
-    __init__.py:2689-2735)."""
+    __init__.py:2689-2735): ``mode`` 0 reads ``ref_dir`` directly (fast
+    path, vs_remaster_colorize), mode 1 goes through reference-clip
+    assembly (vs_sc_remaster_colorize) — both land on the same sliding-
+    buffer engine here.  ``length`` = frames per 3D-conv forward (2-5);
+    ``frame_mindim``/``ref_minedge`` = minimum working dimensions;
+    ``device_index``/``inference_mode`` are CUDA/torch knobs accepted for
+    API compatibility (XLA manages devices and inference mode here).
+
+    TPU-native extra: ``clip_ref`` — take references from a clip instead
+    of a folder.
+    """
+    del device_index, inference_mode, ref_minedge  # CUDA-isms; XLA-managed
+    ref_positions = None
     if ref_dir is not None:
         from ..io import read_reference_dir
 
         refs_map = read_reference_dir(ref_dir)
+        keys = sorted(refs_map.keys())[:max(ref_buffer_size, 1)]
         refs = np.stack(
             [
                 np.asarray(
-                    resize(jnp.asarray(img), clip.height, clip.width, "lanczos")
+                    resize(jnp.asarray(refs_map[k]), clip.height, clip.width,
+                           "lanczos")
                 )
-                for img in list(refs_map.values())[:ref_buffer_size]
+                for k in keys
             ]
         )
+        if mode != 0:
+            # clip-based access keys the sliding window off the reference
+            # frame numbers (vs_sc_remaster_colorize path)
+            ref_positions = np.asarray(keys)
     elif clip_ref is not None:
         idx = np.linspace(
-            0, clip_ref.num_frames - 1, ref_buffer_size, dtype=int
+            0, clip_ref.num_frames - 1, min(ref_buffer_size, clip_ref.num_frames),
+            dtype=int,
         )
         refs = np.asarray(clip_ref.frames)[idx]
+        ref_positions = idx
     else:
-        raise ValueError("HAVC_DeepRemaster: need ref_dir or clip_ref")
+        raise ValueError("HAVC_DeepRemaster: ref_dir is unset")
 
     work_frames, (wh, ww), pad_meta = _prepare_work(clip, render_speed)
     from ..ops.resize import smart_resize_pad
+
+    if render_vivid:
+        fn = cached_jit(
+            ("vivid_pre",),
+            lambda: lambda x: chroma_tweak(
+                x, sat=DEF_VIVID_SAT_HIGH, hue=int(DEF_VIVID_HUE_LOW)
+            ),
+        )
+        refs = np.asarray(fn(jnp.asarray(refs)))
 
     # references were matched to the clip geometry above; run them through
     # the same aspect-preserving working transform
     work_refs = np.asarray(
         smart_resize_pad(jnp.asarray(refs), wh, ww, "spline64")[0]
     )
-    engine = _get_engine("remaster")
-    colored_small = remaster_propagate(engine, np.asarray(work_frames), work_refs)
+    engine = _get_engine("remaster", frame_size=frame_mindim) \
+        if frame_mindim != 320 else _get_engine("remaster")
+    colored_small = remaster_propagate(
+        engine, np.asarray(work_frames), work_refs, length=max(2, length),
+        ref_positions=ref_positions, ref_buffer_size=ref_buffer_size,
+    )
+    if render_vivid:
+        fn = cached_jit(
+            ("vivid_post",),
+            lambda: lambda x: chroma_tweak(
+                x, sat=DEF_VIVID_SAT_LOW, hue=int(DEF_VIVID_HUE_HIGH)
+            ),
+        )
+        colored_small = np.asarray(fn(jnp.asarray(colored_small)))
     return _restore_full(clip, colored_small, pad_meta)

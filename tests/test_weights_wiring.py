@@ -146,7 +146,7 @@ def test_vivid_constants_match_reference():
     assert exemplar.DEF_VIVID_SAT_LOW == 1.15
     import inspect
 
-    src = inspect.getsource(exemplar.HAVC_deepex)
+    src = inspect.getsource(exemplar._exemplar_dispatch)
     # the pre-tweak is DeepRemaster-only (ex_model == 2); ColorMNet (0)
     # must not pre-tweak its references (colormnet/__init__.py:54)
-    assert "vivid and ex_model == 2" in src
+    assert "render_vivid and ex_model == 2" in src
