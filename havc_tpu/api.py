@@ -53,6 +53,7 @@ __all__ = [
 from .ops.merge import DEF_ALM_p, DEF_CMC_p, DEF_CRT_p, DEF_LMM_p
 
 DEF_TWEAK_p = engines.DEF_TWEAK_p
+DEF_HAVC_METHOD_PLACEBO = 10  # constants.py:18
 
 _DEBUG_LEVEL = [0]
 
@@ -428,26 +429,53 @@ def HAVC_stabilizer(
 
 def HAVC_merge(
     clipa: Clip,
-    clipb: Clip,
+    clipb: Optional[Clip] = None,
+    clip_luma: Optional[Clip] = None,
+    weight: float = 0.5,
     method: int = 2,
-    mweight: float = 0.5,
     cmc_p=DEF_CMC_p,
     lmm_p=DEF_LMM_p,
     alm_p=DEF_ALM_p,
     crt_p=DEF_CRT_p,
     cmb_sw: bool = False,
+    mweight: Optional[float] = None,
     batch_size: int = 8,
 ) -> Clip:
-    """Public combine wrapper (HAVC_merge, __init__.py:2536-2675)."""
+    """Public combine wrapper (HAVC_merge, __init__.py:2536-2675).
+
+    ``method`` 0/1 return clipa/clipb (luma-merged with ``clip_luma`` when
+    given); otherwise the 8 combine methods apply with ``weight`` = the
+    weight of clipb.  ``clip_luma``, when given, provides the luma
+    component of the result (__init__.py:2546-2551).  ``mweight`` is a
+    legacy alias of weight."""
+    if mweight is not None:
+        weight = mweight
+
+    def _with_luma(c: Clip) -> Clip:
+        if clip_luma is None:
+            return c
+        from .filters import recover_clip_luma as _rl
+
+        fn_l = cached_jit(
+            ("merge_luma", c.height, c.width),
+            lambda: _rl,
+        )
+        return _batched2(clip_luma, c, fn_l, batch_size)
+
+    if method == 0 or clipb is None:
+        return _with_luma(clipa)
+    if method == 1:
+        return _with_luma(clipb)
+
     fn = cached_jit(
-        ("merge", method, mweight, tuple(cmc_p), tuple(lmm_p), tuple(alm_p),
+        ("merge", method, weight, tuple(cmc_p), tuple(lmm_p), tuple(alm_p),
          tuple(crt_p), cmb_sw),
         lambda: lambda a, b: merge_ops.combine_models(
-            a, b, method=method, b_weight=mweight, cmc_p=cmc_p, lmm_p=lmm_p,
+            a, b, method=method, b_weight=weight, cmc_p=cmc_p, lmm_p=lmm_p,
             alm_p=alm_p, crt_p=crt_p, invert_clips=cmb_sw,
         ),
     )
-    return _batched2(clipa, clipb, fn, batch_size)
+    return _with_luma(_batched2(clipa, clipb, fn, batch_size))
 
 
 def bw_tune_frames(
@@ -573,13 +601,19 @@ def HAVC_rgb_denoise(clip: Clip, batch_size: int = 8) -> Clip:
 
 
 def HAVC_adjust_rgb(
-    clip: Clip, factor=(1.0, 1.0, 1.0), bias=(0, 0, 0), gamma=(1.0, 1.0, 1.0),
-    batch_size: int = 8,
+    clip: Clip, strength: float = 0.0, factor=(1.0, 1.0, 1.0),
+    bias=(0, 0, 0), gamma=(1.0, 1.0, 1.0), batch_size: int = 8,
 ) -> Clip:
-    """Per-channel gain/bias/gamma (havc_utils.adjust_rgb:664-749)."""
-    return _batched(
-        clip, lambda x: equalize.adjust_rgb(x, factor, bias, gamma), batch_size
-    )
+    """Per-channel gain/bias/gamma with optional auto white-balance
+    pre-pass at ``strength`` (HAVC_adjust_rgb, __init__.py: strength=1
+    normalizes fully, 0<strength<1 blends the normalized clip)."""
+
+    def apply(x):
+        if strength > 0:
+            x = equalize.rgb_balance(x, strength=min(strength, 1.0))
+        return equalize.adjust_rgb(x, factor, bias, gamma)
+
+    return _batched(clip, apply, batch_size)
 
 
 def HAVC_tweak(
@@ -594,23 +628,56 @@ def HAVC_tweak(
     )
 
 
-def HAVC_TimeCube(clip: Clip, lut: int | str = 0, batch_size: int = 8) -> Clip:
-    """3D-LUT film look (HAVC_TimeCube, __init__.py:2995-3026): built-in
-    look id/name or a path to a user .cube file; per-LUT tweak applied."""
-    if isinstance(lut, str) and lut.endswith(".cube"):
-        table = lut3d.load_cube(lut)
+def HAVC_TimeCube(
+    clip: Clip,
+    strength: float = 1.0,
+    lut_effect: int | str = 0,
+    factors=None,
+    lut: Optional[int | str] = None,
+    batch_size: int = 8,
+) -> Clip:
+    """3D-LUT film look (HAVC_TimeCube, __init__.py:2995-3026 +
+    vs_timecube, vsplugins.py:325-378): built-in look id/name or a path
+    to a user .cube file, the exact per-LUT (hue/sat/bright/cont/gamma)
+    tweak table, then a merge with the input at ``strength`` (LUT 8
+    Amber_Light uses the ChromaBound merge, method 7, CMC_p =
+    [0.15, True, 25, 25]; the rest a simple weighted merge).
+
+    ``factors`` = (hue, sat, bright, cont, gamma) overrides the table
+    (bright in 0-255 units, like the reference).  ``lut`` is a legacy
+    alias of lut_effect."""
+    if lut is not None:
+        lut_effect = lut
+    if strength == 0:
+        return clip
+    if isinstance(lut_effect, str) and lut_effect.endswith(".cube"):
+        table = lut3d.load_cube(lut_effect)
+        lut_id = -1
         tweaks = None
     else:
-        table = lut3d.make_look_lut(lut)
-        lut_id = lut if isinstance(lut, int) else lut3d.LUT_NAMES.index(lut)
+        table = lut3d.make_look_lut(lut_effect)
+        lut_id = (lut_effect if isinstance(lut_effect, int)
+                  else lut3d.LUT_NAMES.index(lut_effect))
         tweaks = lut3d.LUT_TWEAKS.get(lut_id)
+    if factors is not None:
+        tweaks = tuple(factors)
     tbl = jnp.asarray(table)
 
     def apply(x):
         out = lut3d.apply_lut3d(x, tbl)
         if tweaks is not None:
-            bright, cont, gamma, sat = tweaks
-            out = chroma_ops.tweak(out, sat=sat, bright=bright, cont=cont, gamma=gamma)
+            hue, sat, bright, cont, gamma = tweaks
+            out = chroma_ops.tweak(out, hue=hue, sat=sat,
+                                   bright=bright / 255.0, cont=cont,
+                                   gamma=gamma)
+        if strength < 1.0:
+            if lut_id == 8:
+                out = merge_ops.combine_models(
+                    x, out, method=7, b_weight=strength,
+                    cmc_p=(0.15, True, 25, 25),
+                )
+            else:
+                out = x * (1.0 - strength) + out * strength
         return out
 
     return _batched(clip, apply, batch_size)
@@ -747,163 +814,623 @@ def HAVC_recover_clip_color(
 # --------------------------------------------------------------------------
 
 
-def HAVC_main_colorizer(
-    clip: Clip,
-    color_model: str = "video+artistic",
-    comb_method: str = "constrained-chroma",
-    video_tune: str = "balanced",
-    color_fix: str = "violet/red",
-    color_tune: str = "light",
-    color_map: str = "none",
-    deoldify_rf: int = 24,
-    ddcolor_rf: int = 24,
-    enable_stabilizer: bool = True,
-    sc_threshold: float = 0.0,
-    sc_min_freq: int = 0,
-    batch_size: int = 8,
-) -> Clip:
-    """Classic colorization pipeline (HAVC_main_colorizer,
-    __init__.py:535-912, non-exemplar path): resolves the preset knobs,
-    runs HAVC_colorizer, then the stabilizer chain."""
-    do_model, dd_model, dd_method = presets.get_color_model(color_model)
-    mweight = presets.get_mweight(video_tune)
-    method = presets.get_comb_method(comb_method)
-    dd_tweak, hue_range, hue_range2, chroma_adjust, chroma_adjust2 = (
-        presets.get_color_tune(color_tune, color_fix, color_map, dd_model)
-    )
+def _check_deepex_input(DeepExOnlyRefFrames, ScFrameDir, DeepExMethod,
+                        ScThreshold, ScMinFreq, DeepExRefMerge):
+    """Mirror of havc_utils._check_input (havc_utils.py:591-609)."""
+    if DeepExOnlyRefFrames and ScFrameDir is None:
+        raise ValueError(
+            "HAVC_main: DeepExOnlyRefFrames is enabled but ScFrameDir is unset")
+    if ScFrameDir is not None and DeepExMethod != 0 and DeepExOnlyRefFrames:
+        raise ValueError(
+            "HAVC_main: DeepExOnlyRefFrames is enabled but method not = 0 (HAVC)")
+    if DeepExMethod not in (0, DEF_HAVC_METHOD_PLACEBO) and ScFrameDir is None:
+        raise ValueError("HAVC_main: DeepExMethod != 0 but ScFrameDir is unset")
+    if (DeepExMethod in (0, 1, 2, 5, 6, DEF_HAVC_METHOD_PLACEBO)
+            and ScThreshold == 0 and ScMinFreq == 0):
+        raise ValueError(
+            "HAVC_main: DeepExMethod in (0, 1, 2, 5, 6) but ScThreshold and "
+            "ScMinFreq are not set")
+    if DeepExMethod in (2, 6) and DeepExRefMerge > 0:
+        raise ValueError(
+            "HAVC_main: RefMerge cannot be used with DeepExMethod in (2, 6)")
 
-    if dd_method == 0:  # deoldify only
-        method = 0
-    elif dd_method == 1:  # ddcolor/zhang only
-        method = 1
 
-    colored = HAVC_colorizer(
-        clip,
-        method=method,
-        mweight=mweight,
-        deoldify_p=(do_model, deoldify_rf, 1.0, 0.0),
-        ddcolor_p=(dd_model, ddcolor_rf, 1.0, 0.0, True),
-        ddtweak=tuple(dd_tweak),
-        ddtweak_p=(DEF_TWEAK_p, hue_range),
-        sc_threshold=sc_threshold,
-        sc_min_freq=sc_min_freq,
+def _frame_interpolation(clip: Clip, clip_ref: Clip, frame_interp: int = 5,
+                         chroma_adjust: str = "none",
+                         process_id: int = 1, batch_size: int = 8) -> Clip:
+    """vs_frame_interpolation (__init__.py:2138-2157): interp < 5 uses
+    Deep-Exemplar, >= 5 ColorMNet with refs every 2*interp frames;
+    process_id=2 = the cmnet2 variant with dark/smooth prefilters."""
+    from .exemplar import HAVC_cmnet2, HAVC_deepex
+
+    if frame_interp < 5:
+        return HAVC_deepex(
+            clip=clip, clip_ref=clip_ref, method=0, render_speed="medium",
+            render_vivid=True, ref_merge=0, only_ref_frames=False,
+            dark=False, ref_thresh=0.10, ex_model=1, encode_mode=0,
+            max_memory_frames=0, ref_freq=frame_interp, ref_norm=False,
+            smooth=False, colormap=chroma_adjust, batch_size=batch_size,
+        )
+    if process_id == 1:
+        return HAVC_deepex(
+            clip=clip, clip_ref=clip_ref, method=0, render_speed="medium",
+            render_vivid=True, ref_merge=0, only_ref_frames=False,
+            dark=False, ref_thresh=0.10, ex_model=0, encode_mode=0,
+            max_memory_frames=0, ref_freq=frame_interp * 2, ref_norm=False,
+            smooth=False, colormap=chroma_adjust, batch_size=batch_size,
+        )
+    return HAVC_cmnet2(
+        clip=clip, clip_ref=clip_ref, render_speed="medium",
+        render_vivid=True, ref_merge=0, dark=True, dark_p=(0.2, 0.8),
+        ref_thresh=0.10, encode_mode=0, max_memory_frames=0,
+        ref_freq=frame_interp * 2, ref_norm=True, smooth=True,
+        smooth_p=(0.3, 0.7, 0.9, 0.0, "none"), colormap=chroma_adjust,
         batch_size=batch_size,
     )
 
-    if enable_stabilizer:
-        colored = HAVC_stabilizer(
-            colored,
-            dark=True,
-            dark_p=(0.2, 0.8),
-            smooth=True,
-            smooth_p=(0.3, 0.7, 0.9, 0.0, hue_range2),
-            colormap=chroma_adjust2,
-            stab=True,
-            stab_p=(5, "A", 1, 15, 0.2, 0.15),
-            render_factor=min(deoldify_rf, ddcolor_rf),
+
+def _colortemp_recolor(clip: Clip, clip_colored: Clip, color_temp: int,
+                       chroma_adjust: str, engine_config=None,
+                       batch_size: int = 8) -> Clip:
+    """ColorTemp temporal re-colorization: the colorized clip becomes a
+    freq-1 reference and the B&W video is re-colored through the second
+    ColorMNet instance with ref_merge=color_temp (__init__.py:888-894)."""
+    from .exemplar import HAVC_cmnet2
+
+    ref = clip_colored.with_sc(SceneFlags.every(clip_colored.num_frames, freq=1))
+    return HAVC_cmnet2(
+        clip=clip, clip_ref=ref, render_speed="medium", render_vivid=True,
+        ref_merge=color_temp, dark=True, dark_p=(0.2, 0.8), ref_thresh=0.10,
+        encode_mode=0, max_memory_frames=0, ref_freq=0, ref_norm=True,
+        smooth=True, smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
+        colormap=chroma_adjust, engine_config=engine_config,
+        batch_size=batch_size,
+    )
+
+
+def HAVC_main_colorizer(
+    clip: Clip,
+    Preset: str = "medium",
+    ColorModel: str = "video+artistic",
+    CombMethod: str = "simple",
+    VideoTune: str = "stable",
+    ColorFix: str = "magenta/violet",
+    ColorTemp: str = "none",
+    ColorTune: str = "medium",
+    ColorMap: str = "none",
+    EnableDeepEx: bool = False,
+    DeepExMethod: int = 0,
+    DeepExPreset: str = "medium",
+    DeepExRefMerge: int = 0,
+    DeepExOnlyRefFrames: bool = False,
+    ScFrameDir: Optional[str] = None,
+    ScThreshold: float = 0.10,
+    ScThtOffset: int = 1,
+    ScMinFreq: int = 0,
+    ScMinInt: int = 1,
+    ScThtSSIM: float = 0.0,
+    ScNormalize: bool = False,
+    DeepExModel: int = 0,
+    DeepExVivid: bool = True,
+    DeepExEncMode: int = 0,
+    DeepExMaxMemFrames: int = 0,
+    FrameInterp: int = 0,
+    RefRange: tuple = (0, 0),
+    enable_fp16: bool = True,
+    debug_level: int = 0,
+    engine_config: Optional[str] = None,
+    batch_size: int = 8,
+) -> Clip:
+    """Main HAVC coloring function (HAVC_main_colorizer,
+    __init__.py:796-912) — full reference orchestration:
+
+    * classic path: HAVC_colorizer (or HAVC_colorizer_fast with
+      FrameInterp), optional Placebo/VerySlow tile slicing, ColorTemp
+      re-color, then the speed-tier stabilizer settings (colormap-only
+      for fast presets; dark+smooth+colormap+stab for slower ones; the
+      full chain incl. hue_range2 for placebo/veryslow) — :854-910;
+    * DeepEx methods 0/1/2: HAVC reference generation -> HAVC_deepex ->
+      fast-stabilizer settings (stab_p=(3,'A',1,0,0,0)) — :769-835;
+    * DeepEx methods 3/4: directory references (DeepRemaster fast path
+      for DeepExModel=2) — :837-852;
+    * DeepEx methods 5/6: external reference video + RefRange slice ->
+      HAVC_restore_video — :785-800.
+
+    ``enable_fp16`` maps to the engines' reduced-precision path (bf16 on
+    TPU).  ``debug_level`` sets the log level.
+    """
+    HAVC_set_debug_level(debug_level)
+
+    speed_id, deoldify_rf, ddcolor_rf = presets.get_render_factors(Preset)
+    ddcolor_weight = presets.get_mweight(VideoTune)
+    do_model, dd_model, dd_method = presets.get_color_model(ColorModel)
+    if dd_method == 2:
+        dd_method = presets.get_comb_method(CombMethod)
+    dd_tweak, hue_range, hue_range2, chroma_adjust, chroma_adjust2 = (
+        presets.get_color_tune(ColorTune, ColorFix, ColorMap, dd_model)
+    )
+
+    # stabilization not applicable when only refs are output or ColorTune
+    # is disabled (:748-749)
+    stab_enabled = not DeepExOnlyRefFrames and ColorTune.lower() != "none"
+
+    color_temp = presets.get_temp_color(ColorTemp)
+    if color_temp > 0:
+        ScMinFreq = 1  # forced (:753-755)
+        DeepExVivid = EnableDeepEx
+    if FrameInterp > 4:
+        EnableDeepEx = False  # incompatible (:756-757)
+
+    # Placebo/VerySlow tile slicing geometry (:760-767)
+    slices_n = 0
+    overlap_x = int(round(max(min((0.5 * clip.width) * 0.2, 192), 64)) // 2 * 2)
+    deoldify_rf_n = min(max(math.trunc((0.5 * clip.width + overlap_x) / 16), 22), 32)
+    ddcolor_rf_n = deoldify_rf_n
+    if speed_id in (0, 1):
+        slices_n = 4 if speed_id == 0 else 2
+
+    def _colorize(c, do_rf, dd_rf, **sc):
+        return HAVC_colorizer(
+            c, method=dd_method, mweight=ddcolor_weight,
+            deoldify_p=(do_model, do_rf, 1.0, 0.0),
+            ddcolor_p=(dd_model, dd_rf, 1.0, 0.0, enable_fp16),
+            ddtweak=tuple(dd_tweak), ddtweak_p=(DEF_TWEAK_p, hue_range),
+            batch_size=batch_size, **sc,
+        )
+
+    if EnableDeepEx and DeepExMethod in (0, 1, 2, 5, 6,
+                                         DEF_HAVC_METHOD_PLACEBO):
+        from .exemplar import HAVC_deepex, HAVC_restore_video
+
+        _check_deepex_input(DeepExOnlyRefFrames, ScFrameDir, DeepExMethod,
+                            ScThreshold, ScMinFreq, DeepExRefMerge)
+
+        ref_freq = ScMinFreq if ScMinFreq > 1 else 0
+        if DeepExRefMerge > 0:
+            ScMinFreq = 1
+        ref_tresh = (ScThreshold if ScThreshold is not None
+                     and 0 < ScThreshold < 1 else 0.10)
+
+        if DeepExMethod in (5, 6):
+            from .io import read_video
+
+            clip_ref = read_video(ScFrameDir)
+            clip_s, clip_e = RefRange
+            if clip_e > 0 and 0 <= clip_s <= clip_e:
+                clip_ref = clip_ref[clip_s:clip_e]
+            clip_colored = HAVC_restore_video(
+                clip, clip_ref, method=DeepExMethod,
+                render_speed=DeepExPreset, ex_model=DeepExModel,
+                ref_merge=DeepExRefMerge, ref_thresh=ref_tresh,
+                ref_freq=ref_freq, max_memory_frames=DeepExMaxMemFrames,
+                render_vivid=DeepExVivid, encode_mode=DeepExEncMode,
+                ref_norm=ScNormalize, engine_config=engine_config,
+                batch_size=batch_size,
+            )
+        else:  # HAVC methods 0/1/2 (+ the internal PLACEBO interp method)
+            if FrameInterp == 0 or DeepExRefMerge == 0:
+                clip_ref = _colorize(
+                    clip, deoldify_rf, ddcolor_rf,
+                    sc_threshold=ScThreshold, sc_tht_offset=ScThtOffset,
+                    sc_min_freq=ScMinFreq, sc_min_int=ScMinInt,
+                    sc_tht_ssim=ScThtSSIM, sc_normalize=ScNormalize,
+                )
+            else:
+                clip_ref = HAVC_colorizer_fast(
+                    clip, method=dd_method, mweight=ddcolor_weight,
+                    deoldify_p=(do_model, deoldify_rf, 1.0, 0.0),
+                    ddcolor_p=(dd_model, ddcolor_rf, 1.0, 0.0, enable_fp16),
+                    ddtweak=tuple(dd_tweak),
+                    ddtweak_p=(DEF_TWEAK_p, hue_range),
+                    frame_interp=FrameInterp, chroma_adjust=chroma_adjust,
+                    debug_level=debug_level, batch_size=batch_size,
+                )
+            if color_temp > 0:
+                clip_ref = _colortemp_recolor(
+                    clip, clip_ref, color_temp, chroma_adjust,
+                    engine_config, batch_size,
+                )
+            if DeepExMethod != DEF_HAVC_METHOD_PLACEBO:
+                clip_colored = HAVC_deepex(
+                    clip=clip, clip_ref=clip_ref, method=DeepExMethod,
+                    render_speed=DeepExPreset, render_vivid=DeepExVivid,
+                    ref_merge=DeepExRefMerge, sc_framedir=ScFrameDir,
+                    only_ref_frames=DeepExOnlyRefFrames, dark=True,
+                    dark_p=(0.2, 0.8), ref_thresh=ref_tresh,
+                    ex_model=DeepExModel, encode_mode=DeepExEncMode,
+                    max_memory_frames=DeepExMaxMemFrames,
+                    ref_freq=ScMinFreq, ref_norm=ScNormalize, smooth=True,
+                    smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
+                    colormap=chroma_adjust, engine_config=engine_config,
+                    batch_size=batch_size,
+                )
+            else:
+                clip_colored = clip_ref
+
+        # faster stabilization settings on the DeepEx output (:832-835)
+        if DeepExMethod != DEF_HAVC_METHOD_PLACEBO:
+            clip_colored = HAVC_stabilizer(
+                clip_colored, stab=stab_enabled, stab_p=(3, "A", 1, 0, 0, 0),
+                colormap=chroma_adjust2, render_factor=min(deoldify_rf, ddcolor_rf),
+                batch_size=batch_size,
+            )
+        return clip_colored
+
+    if EnableDeepEx and DeepExMethod in (3, 4):
+        from .exemplar import HAVC_DeepRemaster, HAVC_deepex
+
+        if DeepExModel == 2:
+            # DeepRemaster fast path reads the folder directly (:839-842)
+            return HAVC_DeepRemaster(
+                clip, render_vivid=DeepExVivid, ref_dir=ScFrameDir,
+                ref_buffer_size=DeepExMaxMemFrames or 20, mode=0,
+            )
+        ref_merge = 0 if DeepExModel != 3 else DeepExRefMerge
+        return HAVC_deepex(
+            clip=clip, clip_ref=None, method=DeepExMethod,
+            render_speed=DeepExPreset, render_vivid=DeepExVivid,
+            sc_framedir=ScFrameDir, ref_merge=ref_merge,
+            only_ref_frames=DeepExOnlyRefFrames, dark=True,
+            dark_p=(0.2, 0.8), smooth=True,
+            smooth_p=(0.3, 0.7, 0.9, 0.0, "none"), ex_model=DeepExModel,
+            encode_mode=DeepExEncMode,
+            max_memory_frames=DeepExMaxMemFrames, colormap=chroma_adjust,
+            engine_config=engine_config, batch_size=batch_size,
+        )
+
+    # ------------------- classic path (:854-910) -------------------
+    # NOTE: the classic path colorizes EVERY frame — ScThreshold only
+    # gates DeepEx reference generation (:856-860 call without sc_*)
+    if FrameInterp == 0:
+        if slices_n == 0:
+            clip_colored = _colorize(clip, deoldify_rf, ddcolor_rf)
+        else:
+            rows = 2 if slices_n == 4 else 1
+            tiles_clip, meta = HAVC_clip_slice(
+                clip, rows=rows, cols=2, overlap=overlap_x
+            )
+            tiles_colored = _colorize(tiles_clip, deoldify_rf_n, ddcolor_rf_n)
+            clip_colored = HAVC_clip_reconstruct(clip, tiles_colored, meta)
+    else:
+        fast_kw = dict(
+            method=dd_method, mweight=ddcolor_weight,
+            ddtweak=tuple(dd_tweak), ddtweak_p=(DEF_TWEAK_p, hue_range),
+            frame_interp=FrameInterp, chroma_adjust=chroma_adjust,
+            debug_level=debug_level, batch_size=batch_size,
+        )
+        if slices_n == 0:
+            clip_colored = HAVC_colorizer_fast(
+                clip, deoldify_p=(do_model, deoldify_rf, 1.0, 0.0),
+                ddcolor_p=(dd_model, ddcolor_rf, 1.0, 0.0, enable_fp16),
+                **fast_kw,
+            )
+        else:
+            rows = 2 if slices_n == 4 else 1
+            tiles_clip, meta = HAVC_clip_slice(
+                clip, rows=rows, cols=2, overlap=overlap_x
+            )
+            tiles_colored = HAVC_colorizer_fast(
+                tiles_clip, deoldify_p=(do_model, deoldify_rf_n, 1.0, 0.0),
+                ddcolor_p=(dd_model, ddcolor_rf_n, 1.0, 0.0, enable_fp16),
+                **fast_kw,
+            )
+            clip_colored = HAVC_clip_reconstruct(clip, tiles_colored, meta)
+
+    if color_temp > 0:
+        clip_colored = _colortemp_recolor(
+            clip, clip_colored, color_temp, chroma_adjust, engine_config,
+            batch_size,
+        )
+
+    # speed-tier stabilizer settings (:905-910)
+    rf = min(deoldify_rf, ddcolor_rf)
+    if speed_id > 4:  # fast / faster / veryfast: colormap only
+        clip_colored = HAVC_stabilizer(
+            clip_colored, colormap=chroma_adjust, render_factor=rf,
             batch_size=batch_size,
         )
-    return colored
+    elif speed_id > 1:  # slower / slow / medium
+        clip_colored = HAVC_stabilizer(
+            clip_colored, dark=True, dark_p=(0.2, 0.8),
+            colormap=chroma_adjust, smooth=True,
+            smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
+            stab=(stab_enabled and dd_method != 0),
+            stab_p=(5, "A", 1, 15, 0.2, 0.8), render_factor=rf,
+            batch_size=batch_size,
+        )
+    else:  # placebo / veryslow: all filters incl. hue_range2
+        clip_colored = HAVC_stabilizer(
+            clip_colored, dark=True, dark_p=(0.2, 0.8),
+            colormap=chroma_adjust, smooth=True,
+            smooth_p=(0.3, 0.7, 0.9, 0.0, "none"), stab=stab_enabled,
+            stab_p=(5, "A", 1, 15, 0.2, 0.8, hue_range2), render_factor=rf,
+            batch_size=batch_size,
+        )
+    return clip_colored
 
 
 def HAVC_main_presets(
     clip: Clip,
-    preset: str = "fast",
-    color_model: str = "video+artistic",
-    comb_method: str = "constrained-chroma",
-    video_tune: str = "balanced",
-    color_fix: str = "violet/red",
-    color_tune: str = "light",
-    color_map: str = "none",
-    color_temp: str = "none",
-    bw_tune: str = "none",
-    enable_deep_ex: bool = False,
-    sc_threshold: float = 0.0,
-    sc_min_freq: int = 0,
-    lut: Optional[int] = None,
-    deflicker: bool = False,
+    Preset: str = "medium",
+    FrameInterp: int = 0,
+    ColorModel: str = "video+artistic",
+    CombMethod: str = "simple",
+    VideoTune: str = "stable",
+    ColorFix: str = "magenta/violet",
+    ColorTune: str = "light",
+    ColorMap: str = "none",
+    ColorTemp: str = "none",
+    BlackWhiteTune: str = "none",
+    BlackWhiteMode: int = 0,
+    BlackWhiteBlend: bool = True,
+    EnableDeepEx: bool = False,
+    DeepExMethod: int = 0,
+    DeepExPreset: str = "medium",
+    DeepExRefMerge: int = 0,
+    DeepExOnlyRefFrames: bool = False,
+    ScFrameDir: Optional[str] = None,
+    ScThreshold: float = 0.10,
+    ScThtOffset: int = 1,
+    ScMinFreq: int = 0,
+    ScMinInt: int = 1,
+    ScThtSSIM: float = 0.0,
+    ScNormalize: bool = False,
+    DeepExModel: int = 0,
+    DeepExVivid: bool = True,
+    DeepExEncMode: int = 0,
+    DeepExMaxMemFrames: int = 0,
+    RefRange: tuple = (0, 0),
+    enable_fp16: bool = True,
+    debug_level: int = 0,
     engine_config: Optional[str] = None,
     batch_size: int = 8,
+    lut: Optional[int] = None,
+    deflicker: bool = False,
 ) -> Clip:
-    """Preset pipeline (HAVC_main_presets, __init__.py:469-912):
-    B&W pre-tune -> colorizer (-> exemplar propagation) -> BW post -> LUT
-    -> deflicker."""
-    _, deoldify_rf, ddcolor_rf = presets.get_render_factors(preset)
+    """Preset pipeline (HAVC_main_presets, __init__.py:469-535):
+
+    * BlackWhiteMode 6 (MSRCP retinex) runs as a PRE-pass (bw_method=5 on
+      the B&W input) and downgrades the post-pass to light/CLAHE (:500-505);
+    * HAVC_main_colorizer with every knob forwarded;
+    * BlackWhiteTune post-pass;
+    * ColorFix='retinex/red' applies the ColorTune-selected film LUT
+      (Exploration 0.8 / City_Skyline 0.6 / Amber_Light 0.4 or FUJ_Film
+      0.6) (:518-529);
+    * deflicker whenever DeepEx/ColorTemp/retinex ran (:496, :531-532).
+
+    TPU-native extras: ``lut`` applies an extra HAVC_TimeCube look and
+    ``deflicker`` forces the deflicker stage; ``engine_config`` and
+    ``batch_size`` thread through.
+    """
+    HAVC_set_debug_level(debug_level)
+    speed_id, _, _ = presets.get_render_factors(Preset)
+
+    EnableRetinex = (ColorTune.lower() != "none"
+                     and ColorFix.lower() == "retinex/red")
+    BWTuneRetinex = (BlackWhiteTune.lower() != "none" and BlackWhiteMode == 6)
+    DeFlicker = (EnableDeepEx or ColorTemp.lower() != "none"
+                 or EnableRetinex or BWTuneRetinex or deflicker)
 
     work = clip
-    if bw_tune.lower() != "none":
-        work = HAVC_bw_tune(work, bw_tune, method=0, batch_size=batch_size)
+    if BWTuneRetinex:
+        work = HAVC_bw_tune(work, BlackWhiteTune, bw_method=5,
+                            luma_blend=BlackWhiteBlend, batch_size=batch_size)
+        BlackWhiteTune, BlackWhiteMode, BlackWhiteBlend = "light", 0, True
 
-    if enable_deep_ex:
-        from .exemplar import HAVC_deepex  # lazy: heavy module
+    clip_colored = HAVC_main_colorizer(
+        work, Preset, ColorModel, CombMethod, VideoTune, ColorFix,
+        ColorTemp, ColorTune, ColorMap, EnableDeepEx, DeepExMethod,
+        DeepExPreset, DeepExRefMerge, DeepExOnlyRefFrames, ScFrameDir,
+        ScThreshold, ScThtOffset, ScMinFreq, ScMinInt, ScThtSSIM,
+        ScNormalize, DeepExModel, DeepExVivid, DeepExEncMode,
+        DeepExMaxMemFrames, FrameInterp, RefRange, enable_fp16,
+        debug_level, engine_config, batch_size,
+    )
 
-        ref = HAVC_colorizer(
-            work,
-            method=presets.get_comb_method(comb_method),
-            mweight=presets.get_mweight(video_tune),
-            deoldify_p=(presets.get_color_model(color_model)[0], deoldify_rf, 1.0, 0.0),
-            ddcolor_p=(presets.get_color_model(color_model)[1], ddcolor_rf, 1.0, 0.0, True),
-            sc_threshold=sc_threshold if sc_threshold > 0 else 0.10,
-            sc_min_freq=sc_min_freq,
-            batch_size=batch_size,
-        )
-        colored = HAVC_deepex(clip=work, clip_ref=ref, batch_size=batch_size)
-    else:
-        # classic path: the reference calls HAVC_colorizer WITHOUT
-        # sc_threshold here (__init__.py:853-860) — ScThreshold only
-        # gates reference-frame generation for the DeepEx path, so every
-        # frame is colorized
-        colored = HAVC_main_colorizer(
-            work,
-            color_model=color_model,
-            comb_method=comb_method,
-            video_tune=video_tune,
-            color_fix=color_fix,
-            color_tune=color_tune,
-            color_map=color_map,
-            deoldify_rf=deoldify_rf,
-            ddcolor_rf=ddcolor_rf,
-            sc_threshold=0.0,
-            sc_min_freq=0,
-            batch_size=batch_size,
-        )
+    if BWTuneRetinex:
+        clip_colored = HAVC_tweak(clip_colored, hue=5.0, sat=0.95, bright=0,
+                                  cont=0.98, gamma=0.98, batch_size=batch_size)
 
-    # ColorTemp: temporal color stabilization by re-coloring through the
-    # second ColorMNet instance with the colorized clip as per-frame
-    # reference (__init__.py:888-894: sc_frequency=1 flags + HAVC_cmnet2
-    # with ref_merge=color_temp, render_vivid=True)
-    ct_id = presets.get_temp_color(color_temp)
-    if ct_id > 0:
-        from .exemplar import HAVC_cmnet2
-        from .scene.detect import SceneFlags
+    if BlackWhiteTune.lower() != "none":
+        clip_colored = HAVC_bw_tune(clip_colored, BlackWhiteTune,
+                                    BlackWhiteMode, BlackWhiteBlend,
+                                    batch_size=batch_size)
 
-        # reference call form (__init__.py:888-894): ref_merge=color_temp
-        # (weights 0.3..0.7 via refmerge_weight), separate scene detection
-        # of the video at ref_thresh=0.10 drives ref updates + merging
-        ref = colored.with_sc(SceneFlags.every(colored.num_frames, freq=1))
-        colored = HAVC_cmnet2(
-            clip, ref, render_speed="medium", render_vivid=True,
-            ref_merge=ct_id, dark=True, dark_p=(0.2, 0.8), ref_thresh=0.10,
-            encode_mode=0, max_memory_frames=0, ref_freq=0, ref_norm=True,
-            smooth=True, smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
-            engine_config=engine_config,
-        )
+    clip_final = clip_colored
+    if EnableRetinex:
+        tune = ColorTune.lower()
+        if tune == "light":
+            clip_final = HAVC_TimeCube(clip_colored, 0.8, lut3d.LUT_NAMES.index("exploration"), batch_size=batch_size)
+        elif tune == "medium":
+            clip_final = HAVC_TimeCube(clip_colored, 0.6, lut3d.LUT_NAMES.index("city_skyline"), batch_size=batch_size)
+        elif tune == "strong":
+            if ColorMap.lower() == "red->brown":
+                clip_final = HAVC_TimeCube(clip_colored, 0.4, lut3d.LUT_NAMES.index("amber_light"), batch_size=batch_size)
+            else:
+                clip_final = HAVC_TimeCube(clip_colored, 0.6, lut3d.LUT_NAMES.index("fuj_film"), batch_size=batch_size)
+
     if lut is not None:
-        colored = HAVC_TimeCube(colored, lut, batch_size=batch_size)
-    if deflicker:
-        sc = colored.sc.sc_prev if colored.sc is not None else None
+        clip_final = HAVC_TimeCube(clip_final, lut_effect=lut,
+                                   batch_size=batch_size)
+
+    if DeFlicker:
+        sc = clip_final.sc.sc_prev if clip_final.sc is not None else None
         fn = cached_jit(
             ("deflicker",),
             lambda: lambda f, s: temporal_ops.reduce_flicker(f, scenechange=s),
         )
         scv = jnp.asarray(
-            (sc if sc is not None else np.zeros(len(colored), np.int8)).astype(np.int32)
+            (sc if sc is not None
+             else np.zeros(len(clip_final), np.int8)).astype(np.int32)
         )
-        out = fn(jnp.asarray(colored.frames), scv)
-        colored = colored.with_frames(
-            out if colored.on_device else np.asarray(out)
+        out = fn(jnp.asarray(clip_final.frames), scv)
+        clip_final = clip_final.with_frames(
+            out if clip_final.on_device else np.asarray(out)
         )
-    return colored
+    return clip_final
+
+
+def HAVC_veryslow_preset(
+    clip: Clip,
+    Preset: str = "slower",
+    FrameInterp: int = 0,
+    ColorModel: str = "video+artistic",
+    CombMethod: str = "simple",
+    VideoTune: str = "stable",
+    ColorFix: str = "magenta/violet",
+    ColorTune: str = "light",
+    ColorMap: str = "none",
+    ColorTemp: str = "none",
+    BlackWhiteTune: str = "none",
+    BlackWhiteMode: int = 0,
+    BlackWhiteBlend: bool = True,
+    EnableDeepEx: bool = False,
+    DeepExMethod: int = 0,
+    ScThreshold: float = 0.1,
+    ScMinFreq: int = 0,
+    RefRange: tuple = (0, 0),
+    enable_fp16: bool = True,
+    debug_level: int = 0,
+    engine_config: Optional[str] = None,
+    batch_size: int = 8,
+) -> Clip:
+    """VerySlow dual-pass (HAVC_veryslow_preset, __init__.py:341-428):
+
+    split the color model, colorize a HARD-darkened clip with the
+    DeOldify half (then ScaleAbs-LUT medium bw-tune + sat 0.95/hue 5) and
+    a lightly-darkened clip with the DDColor half, merge with clip luma
+    at the VideoTune weight, optional ColorTemp re-color (FrameInterp>0:
+    sparse refs + ColorMNet interpolation instead), then the final
+    BlackWhiteTune adjust + hue 10/sat 1.05/cont 0.90 tweak blended 40/60.
+    """
+    do_name, dd_name = presets.split_color_model(ColorModel)
+
+    def _pass(dark_gamma, dark_cont, model, cf, ctune, cmap, extra):
+        dark = HAVC_tweak(clip, bright=-1 / 255.0, gamma=dark_gamma,
+                          cont=dark_cont, batch_size=batch_size)
+        return HAVC_main_presets(
+            dark, Preset=Preset, ColorModel=model, ColorTemp="none",
+            ColorFix=cf, ColorTune=ctune, ColorMap=cmap,
+            BlackWhiteTune="light", BlackWhiteMode=0, BlackWhiteBlend=True,
+            FrameInterp=0, EnableDeepEx=extra.get("deepex", EnableDeepEx),
+            DeepExMethod=extra.get("method", DeepExMethod),
+            ScThreshold=extra.get("tht", ScThreshold),
+            ScMinFreq=extra.get("freq", ScMinFreq), RefRange=RefRange,
+            enable_fp16=enable_fp16, debug_level=debug_level,
+            engine_config=engine_config, batch_size=batch_size,
+        )
+
+    color_temp = presets.get_temp_color(ColorTemp)
+    interp = FrameInterp > 0
+    extra = ({"deepex": True, "method": DEF_HAVC_METHOD_PLACEBO, "tht": 0.1,
+              "freq": FrameInterp if FrameInterp < 5 else FrameInterp * 2}
+             if interp else {})
+
+    clip1 = None
+    if do_name != "none":
+        clip1 = _pass(0.90, 0.80, do_name, "none", "medium", "none", extra)
+        clip1 = HAVC_ColorAdjust(clip1, BlackWhiteTune="medium",
+                                 BlackWhiteMode=4, BlackWhiteBlend=True,
+                                 ReColor=False, chroma_resize=True,
+                                 batch_size=batch_size)
+        clip1 = HAVC_tweak(clip1, sat=0.95, hue=5, batch_size=batch_size)
+    clip2 = None
+    if dd_name != "none":
+        clip2 = _pass(0.95, 0.95, dd_name, ColorFix, ColorTune, ColorMap,
+                      extra)
+
+    if clip1 is None:
+        clip_colored = HAVC_merge(clipa=clip2, clip_luma=clip, method=0,
+                                  batch_size=batch_size)
+    elif clip2 is None:
+        clip_colored = HAVC_merge(clipa=clip1, clip_luma=clip, method=0,
+                                  batch_size=batch_size)
+    else:
+        clip_colored = HAVC_merge(
+            clipa=clip1, clipb=clip2, clip_luma=clip,
+            weight=presets.get_mweight(VideoTune),
+            method=presets.get_comb_method(CombMethod),
+            batch_size=batch_size,
+        )
+
+    if interp:
+        ref = clip_colored.with_sc(
+            SceneFlags.every(clip_colored.num_frames, freq=extra["freq"])
+        )
+        clip_colored = _frame_interpolation(
+            clip, ref, FrameInterp, chroma_adjust="300:360|0.8,0.1",
+            process_id=2, batch_size=batch_size,
+        )
+    elif color_temp > 0:
+        clip_colored = _colortemp_recolor(
+            clip, clip_colored, color_temp, "300:360|0.8,0.1",
+            engine_config, batch_size,
+        )
+
+    clip_adjusted = HAVC_ColorAdjust(
+        clip_colored, BlackWhiteTune=BlackWhiteTune,
+        BlackWhiteMode=BlackWhiteMode, BlackWhiteBlend=BlackWhiteBlend,
+        ReColor=False, batch_size=batch_size,
+    )
+    clip_adjusted = HAVC_tweak(clip_adjusted, hue=10, sat=1.05, cont=0.90,
+                               batch_size=batch_size)
+    return HAVC_merge(clipa=clip_adjusted, clipb=clip_colored, weight=0.4,
+                      method=2, batch_size=batch_size)
+
+
+def HAVC_placebo_preset(
+    clip: Clip,
+    CombMethod: str = "simple",
+    VideoTune: str = "stable",
+    ColorModel: str = "video+artistic",
+    ColorFix: str = "magenta/violet",
+    ColorTune: str = "light",
+    ColorMap: str = "none",
+    ColorTemp: str = "none",
+    FrameInterp: int = 0,
+    BlackWhiteTune: str = "none",
+    BlackWhiteMode: int = 0,
+    BlackWhiteBlend: bool = True,
+    RefRange: tuple = (0, 0),
+    enable_fp16: bool = True,
+    debug_level: int = 0,
+    engine_config: Optional[str] = None,
+    batch_size: int = 8,
+) -> Clip:
+    """Placebo tiled-HD path (HAVC_placebo_preset, __init__.py:430-467):
+    HAVC_main_presets at Preset='placebo' (4-tile slicing happens inside
+    HAVC_main_colorizer), then ColorTemp re-color or ColorMNet frame
+    interpolation."""
+    kw = dict(
+        ColorModel=ColorModel, CombMethod=CombMethod, VideoTune=VideoTune,
+        ColorFix=ColorFix, ColorTune=ColorTune, ColorMap=ColorMap,
+        ColorTemp="none", BlackWhiteTune=BlackWhiteTune,
+        BlackWhiteMode=BlackWhiteMode, BlackWhiteBlend=BlackWhiteBlend,
+        RefRange=RefRange, enable_fp16=enable_fp16, debug_level=debug_level,
+        engine_config=engine_config, batch_size=batch_size,
+    )
+    if FrameInterp == 0:
+        clip_colored = HAVC_main_presets(clip, "placebo", 0, **kw)
+        color_temp = presets.get_temp_color(ColorTemp)
+        if color_temp > 0:
+            clip_colored = _colortemp_recolor(
+                clip, clip_colored, color_temp, "300:360|0.8,0.1",
+                engine_config, batch_size,
+            )
+        return clip_colored
+    ref_freq = FrameInterp if FrameInterp < 5 else FrameInterp * 2
+    clip_colored = HAVC_main_presets(
+        clip, "placebo", 0, EnableDeepEx=True,
+        DeepExMethod=DEF_HAVC_METHOD_PLACEBO, ScThreshold=0.1,
+        ScMinFreq=ref_freq, **kw,
+    )
+    ref = clip_colored.with_sc(
+        SceneFlags.every(clip_colored.num_frames, freq=ref_freq)
+    )
+    return _frame_interpolation(
+        clip, ref, FrameInterp, chroma_adjust="300:360|0.8,0.1",
+        process_id=2, batch_size=batch_size,
+    )
 
 
 def HAVC_main(
@@ -911,117 +1438,83 @@ def HAVC_main(
     Preset: str = "medium",
     FrameInterp: int = 0,
     ColorModel: str = "video+artistic",
-    CombMethod: str = "constrained-chroma",
-    VideoTune: str = "balanced",
-    ColorFix: str = "violet/red",
+    CombMethod: str = "simple",
+    VideoTune: str = "stable",
+    ColorFix: str = "magenta/violet",
     ColorTune: str = "light",
     ColorMap: str = "none",
     ColorTemp: str = "none",
-    BWTune: str = "none",
+    BlackWhiteTune: str = "none",
+    BlackWhiteMode: int = 0,
+    BlackWhiteBlend: bool = True,
     EnableDeepEx: bool = False,
-    ScThreshold: float = 0.0,
+    DeepExMethod: int = 0,
+    DeepExPreset: str = "medium",
+    DeepExRefMerge: int = 0,
+    DeepExOnlyRefFrames: bool = False,
+    ScFrameDir: Optional[str] = None,
+    ScThreshold: float = 0.10,
+    ScThtOffset: int = 1,
     ScMinFreq: int = 0,
+    ScMinInt: int = 1,
+    ScThtSSIM: float = 0.0,
+    ScNormalize: bool = False,
+    DeepExModel: int = 0,
+    DeepExVivid: bool = True,
+    DeepExEncMode: int = 0,
+    DeepExMaxMemFrames: int = 0,
+    RefRange: tuple = (0, 0),
+    enable_fp16: bool = True,
+    debug_level: int = 0,
+    BWTune: Optional[str] = None,
+    engine_config: Optional[str] = None,
     batch_size: int = 8,
 ) -> Clip:
-    """Top-level entry (HAVC_main, __init__.py:101-330).
+    """Top-level entry (HAVC_main, __init__.py:101-330) — full reference
+    parameter surface, same names and defaults.
 
-    Placebo preset takes the tiled path (HAVC_placebo_preset,
-    __init__.py:430-467): 4-tile slice, per-tile colorize, blend
-    reconstruct.  VerySlow runs the dual-clip darkened pass
-    (HAVC_veryslow_preset, __init__.py:341-428).  Other presets go through
-    HAVC_main_presets.
+    Preset routing (:320-330): Placebo -> HAVC_placebo_preset (tiled HD),
+    VerySlow -> HAVC_veryslow_preset (dual darkened pass at 'Slower',
+    DeepEx disabled), the rest -> HAVC_main_presets.
+
+    TPU-native extras: ``BWTune`` (legacy alias of BlackWhiteTune),
+    ``engine_config`` (exemplar engine scale override), ``batch_size``.
+    ``enable_fp16`` maps to the engines' reduced-precision path (bf16 on
+    TPU); ``debug_level`` sets the log level.
     """
-    pr_id, deoldify_rf, ddcolor_rf = presets.get_render_factors(Preset)
+    if BWTune is not None:
+        BlackWhiteTune = BWTune
+    HAVC_set_debug_level(debug_level)
 
-    # FrameInterp > 0: colorize only every Nth frame and interpolate the
-    # rest with the exemplar propagator (HAVC_main FrameInterp param ->
-    # HAVC_colorizer_fast, __init__.py:2160-2288)
-    if FrameInterp > 0:
-        do_model, dd_model, _ = presets.get_color_model(ColorModel)
-        return HAVC_colorizer_fast(
-            clip, sc_min_freq=FrameInterp,
-            method=presets.get_comb_method(CombMethod),
-            mweight=presets.get_mweight(VideoTune),
-            deoldify_p=(do_model, deoldify_rf, 1.0, 0.0),
-            ddcolor_p=(dd_model, ddcolor_rf, 1.0, 0.0, True),
+    speed_id, _, _ = presets.get_render_factors(Preset)
+
+    if speed_id == 0:
+        return HAVC_placebo_preset(
+            clip, CombMethod, VideoTune, ColorModel, ColorFix, ColorTune,
+            ColorMap, ColorTemp, FrameInterp, BlackWhiteTune,
+            BlackWhiteMode, BlackWhiteBlend, RefRange, enable_fp16,
+            debug_level, engine_config=engine_config, batch_size=batch_size,
+        )
+    if speed_id == 1:
+        return HAVC_veryslow_preset(
+            clip, "slower", FrameInterp, ColorModel, CombMethod, VideoTune,
+            ColorFix, ColorTune, ColorMap, ColorTemp, BlackWhiteTune,
+            BlackWhiteMode, BlackWhiteBlend, EnableDeepEx=False,
+            RefRange=RefRange, enable_fp16=enable_fp16,
+            debug_level=debug_level, engine_config=engine_config,
             batch_size=batch_size,
         )
-
-    common = dict(
-        color_model=ColorModel, comb_method=CombMethod, video_tune=VideoTune,
-        color_fix=ColorFix, color_tune=ColorTune, color_map=ColorMap,
-        color_temp=ColorTemp, bw_tune=BWTune, enable_deep_ex=EnableDeepEx,
-        sc_threshold=ScThreshold, sc_min_freq=ScMinFreq,
-        batch_size=batch_size,
+    return HAVC_main_presets(
+        clip, Preset, FrameInterp, ColorModel, CombMethod, VideoTune,
+        ColorFix, ColorTune, ColorMap, ColorTemp, BlackWhiteTune,
+        BlackWhiteMode, BlackWhiteBlend, EnableDeepEx, DeepExMethod,
+        DeepExPreset, DeepExRefMerge, DeepExOnlyRefFrames, ScFrameDir,
+        ScThreshold, ScThtOffset, ScMinFreq, ScMinInt, ScThtSSIM,
+        ScNormalize, DeepExModel, DeepExVivid, DeepExEncMode,
+        DeepExMaxMemFrames, RefRange, enable_fp16, debug_level,
+        engine_config, batch_size,
     )
 
-    if pr_id == 0:  # placebo: tiled HD path
-        tiles_clip, meta = HAVC_clip_slice(clip, 2, 2, overlap=max(clip.width // 16, 32))
-        colored_tiles = HAVC_main_presets(tiles_clip, preset="slower", **common)
-        return HAVC_clip_reconstruct(clip, colored_tiles, meta)
-
-    if pr_id == 1:
-        # veryslow: dual darkened pass (HAVC_veryslow_preset,
-        # __init__.py:341-428) — DeOldify pass darkened harder
-        # (gamma 0.90 / cont 0.80) + ColorAdjust + slight desat; DDColor
-        # pass lighter (0.95/0.95); merged at the VideoTune weight; then a
-        # final ColorAdjust + hue/sat tweak blended 40/60, and optional
-        # ColorTemp re-color through the second ColorMNet instance.
-        do_name, dd_name, dd_method = presets.get_color_model(ColorModel)
-        pass_a = pass_b = None
-        if dd_method != 1:  # DeOldify half
-            dark_a = HAVC_tweak(clip, bright=-1 / 255.0, gamma=0.90,
-                                cont=0.80, batch_size=batch_size)
-            pass_a = HAVC_main_presets(
-                dark_a, preset="slower",
-                **{**common,
-                   "color_model": f"deoldify({['video', 'stable', 'artistic'][do_name]})",
-                   "color_fix": "none", "color_tune": "medium"},
-            )
-            pass_a = HAVC_bw_tune(pass_a, "medium", method=4, batch_size=batch_size)
-            pass_a = HAVC_tweak(pass_a, sat=0.95, hue=5, batch_size=batch_size)
-        if dd_method != 0:  # DDColor/Zhang half
-            dark_b = HAVC_tweak(clip, bright=-1 / 255.0, gamma=0.95,
-                                cont=0.95, batch_size=batch_size)
-            dd_names = {0: "ddcolor(modelscope)", 1: "ddcolor(artistic)",
-                        2: "zhang(siggraph17)", 3: "zhang(eccv16)"}
-            pass_b = HAVC_main_presets(
-                dark_b, preset="slower",
-                **{**common,
-                   "color_model": dd_names.get(dd_name, "ddcolor(artistic)")},
-            )
-        if pass_a is None:
-            merged = pass_b
-        elif pass_b is None:
-            merged = pass_a
-        else:
-            merged = HAVC_merge(
-                pass_a, pass_b, method=presets.get_comb_method(CombMethod),
-                mweight=presets.get_mweight(VideoTune),
-            )
-        ct_id = presets.get_temp_color(ColorTemp)
-        if ct_id > 0:
-            # temporal re-color through ColorMNet instance 2
-            # (__init__.py:404-412)
-            from .exemplar import HAVC_cmnet2
-            from .scene.detect import SceneFlags
-
-            ref = merged.with_sc(SceneFlags.every(merged.num_frames, freq=1))
-            merged = HAVC_cmnet2(
-                clip, ref, render_speed="medium", render_vivid=True,
-                ref_merge=ct_id, dark=True, dark_p=(0.2, 0.8),
-                ref_thresh=0.10, encode_mode=0, max_memory_frames=0,
-                ref_freq=0, ref_norm=True, smooth=True,
-                smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
-                colormap="300:360|0.8,0.1",
-            )
-        adjusted = HAVC_bw_tune(merged, BWTune, batch_size=batch_size) \
-            if BWTune.lower() != "none" else merged
-        adjusted = HAVC_tweak(adjusted, hue=10, sat=1.05, cont=0.90,
-                              batch_size=batch_size)
-        return HAVC_merge(adjusted, merged, method=2, mweight=0.4)
-
-    return HAVC_main_presets(clip, preset=Preset, **common)
 
 
 # --------------------------------------------------------------------------
@@ -1072,35 +1565,42 @@ def HAVC_clip_overlay(
 
 def HAVC_colorizer_fast(
     clip: Clip,
-    sc_min_freq: int = 10,
-    ex_model: Optional[int] = None,
-    render_speed: str = "medium",
-    engine_config: Optional[str] = None,
+    method: int = 2,
+    mweight: float = 0.4,
+    deoldify_p=(0, 24, 1.0, 0.0),
+    ddcolor_p=(1, 24, 1.0, 0.0, True),
+    ddtweak=(False, False, False),
+    ddtweak_p=(DEF_TWEAK_p, "300:360|0.8,0.1"),
+    frame_interp: int = 5,
     chroma_adjust: str = "none",
+    debug_level: int = 0,
+    sc_min_freq: Optional[int] = None,
+    engine_config: Optional[str] = None,
     batch_size: int = 8,
-    **colorizer_kwargs,
 ) -> Clip:
-    """Fast colorizer (HAVC_colorizer_fast + vs_frame_interpolation,
-    __init__.py:2138-2288): colorize only every Nth frame with the classic
-    engines, then interpolate the colors of in-between frames with an
-    exemplar propagator.
+    """Fast colorizer (HAVC_colorizer_fast, __init__.py:2160-2288):
+    colorize only every ``frame_interp``-th frame with the classic
+    engines (sc_threshold=0.1, sc_min_freq=frame_interp), then
+    interpolate the in-between colors with an exemplar propagator
+    (vs_frame_interpolation: interp < 5 Deep-Exemplar, >= 5 ColorMNet at
+    refs every 2*interp; both render_vivid=True).
 
-    Engine selection follows vs_frame_interpolation: interp < 5 uses
-    Deep-Exemplar, >= 5 uses ColorMNet with refs every ``2 * interp``
-    frames; both run render_vivid=True (__init__.py:2138-2157)."""
-    from .exemplar import HAVC_deepex
-
-    if ex_model is None:
-        ex_model = 1 if sc_min_freq < 5 else 0
-    ref_freq = sc_min_freq if sc_min_freq < 5 else sc_min_freq * 2
+    ``sc_min_freq`` is a legacy alias of frame_interp."""
+    if sc_min_freq is not None:
+        frame_interp = sc_min_freq
+    HAVC_set_debug_level(debug_level)
+    if frame_interp not in range(1, 11):
+        raise ValueError("HAVC_colorizer_fast: frame_interp must be in range [1-10]")
     ref = HAVC_colorizer(
-        clip, sc_threshold=0.10, sc_min_freq=ref_freq,
-        batch_size=batch_size, **colorizer_kwargs,
+        clip, method=method, mweight=mweight, deoldify_p=deoldify_p,
+        ddcolor_p=ddcolor_p, ddtweak=ddtweak, ddtweak_p=ddtweak_p,
+        sc_threshold=0.1, sc_tht_offset=1, sc_min_freq=frame_interp,
+        sc_min_int=1, sc_tht_ssim=0.0, sc_normalize=False,
+        batch_size=batch_size,
     )
-    return HAVC_deepex(
-        clip, ref, ex_model=ex_model, render_speed=render_speed,
-        engine_config=engine_config, render_vivid=True,
-        colormap=chroma_adjust, batch_size=batch_size,
+    return _frame_interpolation(
+        clip, ref, frame_interp, chroma_adjust, process_id=1,
+        batch_size=batch_size,
     )
 
 
@@ -1111,44 +1611,148 @@ def HAVC_restore_video(*args, **kwargs):
     return _restore(*args, **kwargs)
 
 
-def HAVC_ColorAdjust(
+def HAVC_main_restore(
     clip: Clip,
-    clip_ref: Optional[Clip] = None,
-    bw_tune: str = "none",
-    lut: Optional[int] = None,
-    deflicker: bool = False,
-    ex_model: int = 0,
+    clip_colored: Optional[Clip] = None,
+    DeepExPreset: str = "medium",
+    DeepExModel: int = 0,
+    DeepExRefMerge: int = 0,
+    ScThreshold: float = 0.10,
+    ScMinFreq: int = 0,
+    ScNormalize: bool = False,
+    DeepExMaxMemFrames: int = 0,
+    DeepExMethod: int = 5,
+    DeepExVivid: bool = True,
+    DeepExEncMode: int = 0,
+    BlackWhiteTune: str = "medium",
+    BlackWhiteMode: int = 0,
+    BlackWhiteBlend: bool = True,
+    chroma_resize: bool = False,
     engine_config: Optional[str] = None,
     batch_size: int = 8,
 ) -> Clip:
-    """Post color-adjust: optional ReColor via exemplar propagation from a
-    reference clip + BW tune + LUT + deflicker (HAVC_ColorAdjust /
-    HAVC_main_restore, __init__.py:957-1253)."""
-    out = clip
-    if clip_ref is not None:
+    """Main HAVC restoring function (HAVC_main_restore,
+    __init__.py:1114-1264): optional exemplar re-color from
+    ``clip_colored`` (BlackWhiteMode 6 runs MSRCP as a pre-pass), then
+    the BlackWhiteTune post chain with the reference's per-mode
+    hue/sat/bright/cont/gamma tweak tables."""
+    del chroma_resize  # speed hack in the reference; stages already work at chroma res
+    BWTuneRetinex = BlackWhiteTune.lower() != "none" and BlackWhiteMode == 6
+
+    if clip_colored is not None:
+        work = clip
+        if BWTuneRetinex:
+            work = HAVC_bw_tune(work, BlackWhiteTune, bw_method=5,
+                                luma_blend=BlackWhiteBlend,
+                                batch_size=batch_size)
+            BlackWhiteTune, BlackWhiteMode = "none", 5
         out = HAVC_restore_video(
-            out, clip_ref, ex_model=ex_model, engine_config=engine_config
+            work, clip_colored, method=DeepExMethod,
+            render_speed=DeepExPreset, ex_model=DeepExModel,
+            ref_merge=DeepExRefMerge, ref_thresh=ScThreshold,
+            ref_freq=ScMinFreq, max_memory_frames=DeepExMaxMemFrames,
+            render_vivid=DeepExVivid, encode_mode=DeepExEncMode,
+            ref_norm=ScNormalize, engine_config=engine_config,
+            batch_size=batch_size,
         )
-    if bw_tune.lower() != "none":
-        out = HAVC_bw_tune(out, bw_tune, method=0, batch_size=batch_size)
-    if lut is not None:
-        out = HAVC_TimeCube(out, lut, batch_size=batch_size)
-    if deflicker:
-        sc = out.sc.sc_prev if out.sc is not None else np.zeros(len(out), np.int8)
-        fn = cached_jit(
-            ("deflicker",),
-            lambda: lambda f, s: temporal_ops.reduce_flicker(f, scenechange=s),
-        )
-        out = out.with_frames(
-            np.asarray(
-                fn(jnp.asarray(out.frames),
-                   jnp.asarray(sc.astype(np.int32)))
-            )
-        )
+        if BWTuneRetinex:
+            return HAVC_tweak(out, hue=5.0, sat=0.95, bright=0, cont=0.98,
+                              gamma=0.98, batch_size=batch_size)
+        if BlackWhiteTune.lower() != "none":
+            out = HAVC_adjust_rgb(out, strength=0.5,
+                                  gamma=(1.0, 1.0, 0.98),
+                                  batch_size=batch_size)
+            return HAVC_tweak(out, hue=5, sat=1.05, bright=0, cont=1.0,
+                              batch_size=batch_size)
+        return out
+
+    if BlackWhiteTune.lower() == "none":
+        return clip
+    BlackWhiteMode = min(BlackWhiteMode, 5)
+
+    i = BlackWhiteMode
+    cont = [1.0, 0.95, 1.0, 0.95, 0.95, 0.90]
+    hue = [-10.0, -10.0, -10.0, -10.0, -10.0, -5.0]
+    sat = [1.10, 1.05, 1.10, 1.10, 0.95, 0.95]
+    bright = [0.0, 0.0, 0.0, 0.0, 0.0, -1.0]
+    if BlackWhiteTune.lower() == "light":
+        gamma = [1.0, 0.98, 0.98, 0.98, 0.98, 0.98]
+    else:
+        gamma = [1.0, 0.95, 0.95, 0.95, 0.95, 0.95]
+
+    out = HAVC_bw_tune(clip, BlackWhiteTune, i, BlackWhiteBlend, True,
+                       batch_size=batch_size)
+    if BlackWhiteMode < 4:  # skip for ScaleAbs / Retinex
+        out = HAVC_tweak(out, hue[i], sat[i], bright[i] / 255.0, cont[i],
+                         gamma[i], batch_size=batch_size)
     return out
 
 
-HAVC_main_restore = HAVC_ColorAdjust
+def HAVC_ColorAdjust(
+    clip: Clip,
+    BlackWhiteTune: str = "light",
+    BlackWhiteMode: int = 0,
+    BlackWhiteBlend: bool = True,
+    ReColor: bool = True,
+    Strength: int = 0,
+    ScThreshold: float = 0.10,
+    ScNormalize: bool = True,
+    DeepExVivid: bool = True,
+    ScMinFreq: int = 0,
+    chroma_resize: bool = False,
+    clip_ref: Optional[Clip] = None,
+    engine_config: Optional[str] = None,
+    batch_size: int = 8,
+) -> Clip:
+    """HAVC color post-processing (HAVC_ColorAdjust, __init__.py:957-1110):
+    optional ReColor (ColorMNet re-color of the clip itself at freq-1
+    references, merge strength via DeepExRefMerge = 1 + (4 - Strength)),
+    BlackWhiteTune via HAVC_main_restore, and the BlackWhiteMode 4/6
+    ColorTune film-LUT remapping table.
+
+    TPU-native extra: ``clip_ref`` re-colors from an external reference
+    clip instead of the clip itself."""
+    DeepExRefMerge = 1 + min(max(4 - Strength, 0), 4)
+
+    if BlackWhiteTune.lower() == "none" and not ReColor and clip_ref is None:
+        return clip
+
+    if ReColor or clip_ref is not None:
+        clip_colored = clip_ref if clip_ref is not None else clip
+        clip_colored = clip_colored.with_sc(
+            SceneFlags.every(clip_colored.num_frames, freq=1)
+        )
+    else:
+        clip_colored = None
+
+    tn_id = presets.get_tune_id(BlackWhiteTune)
+    if tn_id != 0 and BlackWhiteMode in (4, 6):
+        bw_tune, bw_mode = "none", 4
+    else:
+        bw_tune, bw_mode = BlackWhiteTune, BlackWhiteMode
+
+    out = HAVC_main_restore(
+        clip, clip_colored, "medium", 0, DeepExRefMerge, ScThreshold,
+        ScMinFreq, ScNormalize, 0, 5, DeepExVivid, 0,
+        BlackWhiteTune=bw_tune, BlackWhiteMode=bw_mode,
+        BlackWhiteBlend=BlackWhiteBlend, chroma_resize=chroma_resize,
+        engine_config=engine_config, batch_size=batch_size,
+    )
+
+    if tn_id != 0 and BlackWhiteMode in (4, 6):
+        # ColorTune film-LUT remap (__init__.py:1046-1058)
+        lut_map = {
+            (4, 1): (0.8, "exploration"), (4, 2): (0.6, "city_skyline"),
+            (4, 3): (0.5, "amber_light"), (6, 1): (0.6, "fuj_film"),
+            (6, 2): (0.7, "flat_pop"), (6, 3): (0.5, "warm_haze"),
+        }
+        entry = lut_map.get((BlackWhiteMode, tn_id))
+        if entry is not None:
+            strength, name = entry
+            out = HAVC_TimeCube(out, strength,
+                                lut3d.LUT_NAMES.index(name),
+                                batch_size=batch_size)
+    return out
 
 
 def HAVC_SceneDetectEdges(
@@ -1321,16 +1925,6 @@ def HAVC_cmnet(clip: Clip, clip_ref: Optional[Clip] = None, **kwargs) -> Clip:
     HAVC_deepex pinned to ex_model=0)."""
     kwargs.setdefault("ex_model", 0)
     return HAVC_deepex(clip, clip_ref, **kwargs)
-
-
-def HAVC_placebo_preset(clip: Clip, **kwargs) -> Clip:
-    """Tiled HD path (HAVC_placebo_preset, __init__.py:430-467)."""
-    return HAVC_main(clip, Preset="placebo", **kwargs)
-
-
-def HAVC_veryslow_preset(clip: Clip, **kwargs) -> Clip:
-    """Dual darkened-pass path (HAVC_veryslow_preset, __init__.py:341-428)."""
-    return HAVC_main(clip, Preset="veryslow", **kwargs)
 
 
 def ddeoldify_main(clip: Clip, *args, **kwargs) -> Clip:

@@ -34,21 +34,23 @@ LUT_NAMES = [
     "flat_pop",        # 11
 ]
 
-# Per-LUT (bright, cont, gamma, sat) tweak factors applied after the LUT
-# (mirrors the per-LUT tweak table in vsplugins.py:283-378).
+# Per-LUT tweak factors applied after the LUT — the exact vs_timecube
+# match table (vsplugins.py:333-358).
 LUT_TWEAKS = {
-    0: (0.0, 1.00, 1.00, 1.00),
-    1: (0.0, 1.02, 1.00, 1.00),
-    2: (0.0, 1.00, 1.05, 1.00),
-    3: (0.0, 1.00, 1.00, 1.05),
-    4: (0.0, 1.05, 1.00, 1.02),
-    5: (0.0, 1.00, 0.95, 0.95),
-    6: (0.02, 1.00, 1.00, 1.00),
-    7: (0.0, 1.08, 1.00, 1.10),
-    8: (0.0, 1.00, 1.00, 1.02),
-    9: (0.0, 1.00, 1.05, 0.98),
-    10: (0.0, 0.98, 0.95, 0.92),
-    11: (0.0, 1.10, 1.00, 1.05),
+    # (hue, sat, bright, cont, gamma) — bright in 0-255 units like the
+    # reference's vs_tweak call
+    0: (10.0, 0.70, 0.0, 1.00, 1.00),
+    1: (-3.0, 0.65, 1.0, 0.90, 1.05),
+    2: (10.0, 1.05, -1.0, 1.05, 0.95),
+    3: (10.0, 0.80, 0.0, 1.00, 1.00),
+    4: (10.0, 0.75, 0.0, 1.00, 1.00),
+    5: (0.0, 0.80, 0.0, 1.00, 1.00),
+    6: (0.0, 0.75, 0.0, 1.00, 1.00),
+    7: (0.0, 0.95, 0.0, 1.00, 1.00),
+    8: (10.0, 0.40, 5.0, 1.00, 1.00),
+    9: (3.0, 0.80, -1.0, 1.00, 1.00),
+    10: (3.0, 0.80, 1.0, 1.00, 1.00),
+    11: (-2.0, 0.80, 0.0, 1.00, 1.00),
 }
 
 

@@ -15,6 +15,7 @@ __all__ = [
     "get_color_tune",
     "get_colormap",
     "get_temp_color",
+    "split_color_model",
     "get_tune_id",
 ]
 
@@ -183,3 +184,19 @@ def get_colormap(color_map: str = "red->brown", color_tune: str = "light") -> st
     if cl_id == 0:
         return "none"
     return _HUE_MAP[cl_id] + "," + _HUE_W[tn_id]
+
+
+def split_color_model(color_model: str):
+    """'video+artistic' -> ('deoldify(video)', 'ddcolor(artistic)');
+    single-model strings return 'none' for the other half
+    (havc_utils._spit_color_model:380-401)."""
+    cm = (color_model or "").lower()
+    if "+" not in cm:
+        if "deoldify" in cm:
+            return cm, "none"
+        return "none", cm
+    a, b = cm.split("+")
+    deoldify = f"deoldify({a})"
+    if b in ("siggraph17", "eccv16"):
+        return deoldify, f"zhang({b})"
+    return deoldify, f"ddcolor({b})"

@@ -206,9 +206,10 @@ def HAVC_main_streaming(
             if tweaks is not None:
                 from .ops.chroma import tweak as chroma_tweak_fn
 
-                bright, cont, gamma, sat = tweaks
-                out = chroma_tweak_fn(out, sat=sat, bright=bright,
-                                      cont=cont, gamma=gamma)
+                hue, sat, bright, cont, gamma = tweaks
+                out = chroma_tweak_fn(out, hue=hue, sat=sat,
+                                      bright=bright / 255.0, cont=cont,
+                                      gamma=gamma)
         if EnableDeflicker:
             out = temporal_ops.reduce_flicker(out)
         return out

@@ -173,8 +173,8 @@ def test_streaming_with_bwtune_lut_equals_whole(tmp_path):
         from havc_tpu.ops.chroma import tweak as chroma_tweak_fn
 
         full = np.asarray(chroma_tweak_fn(
-            jnp.asarray(full), sat=tw[3], bright=tw[0], cont=tw[1],
-            gamma=tw[2]))
+            jnp.asarray(full), hue=tw[0], sat=tw[1], bright=tw[2] / 255.0,
+            cont=tw[3], gamma=tw[4]))
     full = np.asarray(temporal_ops.reduce_flicker(jnp.asarray(full)))
     err = np.abs(np.clip(full, 0, 1) - got).mean()
     assert err < 0.02, f"streaming vs whole-clip mean err {err:.4f}"
