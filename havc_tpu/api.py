@@ -58,9 +58,16 @@ DEF_HAVC_METHOD_PLACEBO = 10  # constants.py:18
 _DEBUG_LEVEL = [0]
 
 
-def HAVC_set_debug_level(level: int = 0):
-    """Mirror of HAVC_set_debug_level (__init__.py:3440)."""
-    _DEBUG_LEVEL[0] = level
+def HAVC_set_debug_level(debug_level: int = 0):
+    """Mirror of HAVC_set_debug_level (__init__.py:3440): 0 = silent,
+    1 = info, 2 = info + debug (constants.py:13-15)."""
+    if debug_level in (0, 1, 2):
+        _DEBUG_LEVEL[0] = debug_level
+
+
+def _log_debug(*msg) -> None:
+    if _DEBUG_LEVEL[0] >= 2:
+        print("HAVC-DEBUG:", *msg)
 
 
 def _batched(clip: Clip, fn, batch_size: int = 8) -> Clip:
@@ -112,6 +119,9 @@ def HAVC_colorizer(
     sc_min_int: int = 1,
     sc_tht_white: float = 0.70,
     sc_tht_black: float = 0.10,
+    device_index: int = 0,
+    torch_dir: Optional[str] = None,
+    debug_level: int = 0,
     batch_size: int = 8,
 ) -> Clip:
     """Colorize using DeOldify and/or DDColor and combine (method 0-7).
@@ -119,7 +129,13 @@ def HAVC_colorizer(
     Mirror of HAVC_colorizer (__init__.py:2290-2523): optional scene
     detection (sets reference-frame flags), Spline64 square resize to
     ``max(rf)*16``, both engines, merge dispatch, chroma-resize restore.
-    """
+
+    ``device_index``/``torch_dir`` are accepted for script compatibility:
+    device selection is JAX-global here (jax.devices()) and weights load
+    through the converted-checkpoint registry (set_weights_dir)."""
+    del device_index, torch_dir
+    if debug_level:
+        HAVC_set_debug_level(debug_level)
     if sc_threshold < 0:
         raise ValueError("HAVC_colorizer: sc_threshold must be >= 0")
     if sc_min_freq < 0:
@@ -303,7 +319,7 @@ def HAVC_stabilizer(
     colormap: str = "none",
     colormap_p: str = "none",
     stab: bool = False,
-    stab_p=(5, "A", 1, 15, 0.2, 0.15),
+    stab_p=(5, "A", 1, 15, 0.2, 0.8),
     deflicker: bool = True,
     render_factor: int = 24,
     use_pallas: bool = True,
@@ -428,7 +444,7 @@ def HAVC_stabilizer(
 
 
 def HAVC_merge(
-    clipa: Clip,
+    clipa: Clip = None,
     clipb: Optional[Clip] = None,
     clip_luma: Optional[Clip] = None,
     weight: float = 0.5,
@@ -448,6 +464,8 @@ def HAVC_merge(
     weight of clipb.  ``clip_luma``, when given, provides the luma
     component of the result (__init__.py:2546-2551).  ``mweight`` is a
     legacy alias of weight."""
+    if clipa is None:
+        raise ValueError("HAVC_merge: clipa is required")
     if mweight is not None:
         weight = mweight
 
@@ -525,32 +543,92 @@ def bw_tune_frames(
 
 
 def HAVC_bw_tune(
-    clip: Clip,
-    bw_tune: str = "none",
-    method: int = 0,
+    clip: Clip = None,
+    bw_tune: str = "Light",
+    bw_method: int = 0,
     luma_blend: bool = True,
     range_tv: bool = True,
+    chroma_resize: bool = False,
     batch_size: int = 8,
+    method: Optional[int] = None,
 ) -> Clip:
     """B&W contrast/luminosity restoration (HAVC_bw_tune,
-    __init__.py:1266-1339)."""
+    __init__.py:1266-1339).  ``chroma_resize=True`` runs the filter at the
+    reference's reduced chroma resolution and re-marries the original luma
+    (convert_format_RGB24(chroma_resize=True) speed path).  ``method`` is a
+    deprecated alias of ``bw_method``."""
+    if clip is None:
+        raise ValueError("HAVC_bw_tune: clip is required")
+    if method is not None:
+        bw_method = method
     tn_id = presets.get_tune_id(bw_tune)
+    if tn_id == 0:
+        return clip
+    work = clip
+    if chroma_resize:
+        rf = min(max(int(0.4 * clip.width / 16), 16), 48)
+        frame_size = min(rf * 16, clip.width)
+        if frame_size < clip.width:
+            work = _batched(
+                clip, lambda x: resize(x, frame_size, frame_size, "spline64"),
+                batch_size,
+            )
+    out = _batched(
+        work,
+        lambda x: bw_tune_frames(x, tn_id, bw_method, luma_blend, range_tv),
+        batch_size,
+    )
+    if chroma_resize and work is not clip:
+        out = _chroma_resize_clip(clip, out, batch_size)
+    return out
+
+
+def auto_levels_frames(
+    x: jnp.ndarray,
+    tn_id: int,
+    method: int = 0,
+    luma_blend: bool = False,
+    range_tv: bool = True,
+) -> jnp.ndarray:
+    """Pure per-frame core of vs_auto_levels (havc_utils.py:785-838):
+    unlike bw_tune there is NO rgb_balance warm-up step and the strength
+    table is [0, 0.98, 0.99, 1.0] for every method; equalization runs
+    inside the same full->limited double range bracket."""
+    b_strength = [0.0, 0.98, 0.99, 1.0]
+
+    def lim(v):
+        return v * (219.0 / 255.0) + 16.0 / 255.0
+
+    def unlim(v):
+        return (v - 16.0 / 255.0) * (255.0 / 219.0)
+
+    if range_tv:
+        x = lim(lim(x))
+    x = equalize.rgb_equalizer(
+        x, method=min(5, method), strength=b_strength[tn_id],
+        luma_blend_on=luma_blend,
+    )
+    if range_tv:
+        x = jnp.clip(unlim(unlim(x)), 0.0, 1.0)
+    return x
+
+
+def HAVC_auto_levels(
+    clip: Clip = None, mode: str = "Light", method: int = 0,
+    luma_blend: bool = False, range_tv: bool = True, batch_size: int = 8,
+) -> Clip:
+    """Histogram-equalization / retinex contrast filter for B&W clips
+    (HAVC_auto_levels, __init__.py:3150-3179 -> vs_auto_levels,
+    havc_utils.py:785-838)."""
+    if clip is None:
+        raise ValueError("HAVC_auto_levels: clip is required")
+    tn_id = presets.get_tune_id(mode)
     if tn_id == 0:
         return clip
     return _batched(
         clip,
-        lambda x: bw_tune_frames(x, tn_id, method, luma_blend, range_tv),
+        lambda x: auto_levels_frames(x, tn_id, method, luma_blend, range_tv),
         batch_size,
-    )
-
-
-def HAVC_auto_levels(
-    clip: Clip, mode: str = "Medium", method: int = 5, luma_blend: bool = True,
-    batch_size: int = 8,
-) -> Clip:
-    """vs_auto_levels analog (havc_utils.py:785-833)."""
-    return HAVC_bw_tune(
-        clip, mode, method, luma_blend, batch_size=batch_size
     )
 
 
@@ -588,25 +666,48 @@ def HAVC_retinex(
     )
 
 
-def HAVC_rgb_denoise(clip: Clip, batch_size: int = 8) -> Clip:
-    """rgb_denoise analog (havc_utils.py:752-773)."""
-    return _batched(
-        clip,
-        lambda x: equalize.rgb_equalizer(
-            equalize.rgb_balance(x, strength=0.3, rgb_factor=(0.98, 1.02, 1.0)),
-            method=0, strength=0.2, luma_blend_on=False,
-        ),
-        batch_size,
-    )
+def HAVC_rgb_denoise(
+    clip: Clip,
+    denoise_levels=(0.4, 0.3),
+    rgb_factors=(0.95, 1.05, 1.01),
+    batch_size: int = 8,
+) -> Clip:
+    """Color/contrast denoise for DDColor/Zhang output (HAVC_rgb_denoise,
+    __init__.py:924-945 -> havc_utils.rgb_denoise:752-773):
+    ``denoise_levels=[color, contrast]`` strengths, ``rgb_factors`` the
+    per-channel balance gains, all inside the reference's full->limited
+    range bracket (compressed twice on entry, expanded twice on exit,
+    matching bw_tune_frames)."""
+    w_str, b_str = float(denoise_levels[0]), float(denoise_levels[1])
+    r, g, b = (float(v) for v in rgb_factors)
+
+    def lim(v):
+        return v * (219.0 / 255.0) + 16.0 / 255.0
+
+    def unlim(v):
+        return (v - 16.0 / 255.0) * (255.0 / 219.0)
+
+    def apply(x):
+        x = lim(lim(x))
+        x = equalize.rgb_balance(x, strength=w_str, rgb_factor=(r, g, b))
+        x = equalize.rgb_equalizer(
+            x, method=0, strength=b_str, luma_blend_on=False,
+        )
+        return jnp.clip(unlim(unlim(x)), 0.0, 1.0)
+
+    return _batched(clip, apply, batch_size)
 
 
 def HAVC_adjust_rgb(
-    clip: Clip, strength: float = 0.0, factor=(1.0, 1.0, 1.0),
+    clip: Clip = None, strength: float = 0.0, factor=(1.0, 1.0, 1.0),
     bias=(0, 0, 0), gamma=(1.0, 1.0, 1.0), batch_size: int = 8,
 ) -> Clip:
     """Per-channel gain/bias/gamma with optional auto white-balance
     pre-pass at ``strength`` (HAVC_adjust_rgb, __init__.py: strength=1
     normalizes fully, 0<strength<1 blends the normalized clip)."""
+
+    if clip is None:
+        raise ValueError("HAVC_adjust_rgb: clip is required")
 
     def apply(x):
         if strength > 0:
@@ -617,10 +718,12 @@ def HAVC_adjust_rgb(
 
 
 def HAVC_tweak(
-    clip: Clip, hue: float = 0, sat: float = 1, bright: float = 0,
+    clip: Clip = None, hue: float = 0, sat: float = 1, bright: float = 0,
     cont: float = 1, gamma: float = 1, batch_size: int = 8,
 ) -> Clip:
     """vs_tweak analog (vsfilters.py:753-850)."""
+    if clip is None:
+        raise ValueError("HAVC_tweak: clip is required")
     return _batched(
         clip,
         lambda x: chroma_ops.tweak(x, hue=hue, sat=sat, bright=bright, cont=cont, gamma=gamma),
@@ -693,6 +796,7 @@ def HAVC_SceneDetect(
     sc_normalize: bool = False,
     sc_tht_white: float = 0.70,
     sc_tht_black: float = 0.10,
+    sc_debug: bool = False,
 ) -> Clip:
     """Scene detection front-end (HAVC_SceneDetect, __init__.py:3191)."""
     flags = scene_detect(
@@ -706,11 +810,29 @@ def HAVC_SceneDetect(
         tht_offset=sc_tht_offset,
         normalize=sc_normalize,
     )
+    if sc_debug:
+        print("HAVC-SC:", list(np.nonzero(flags.sc_prev)[0]))
     return clip.with_sc(flags)
 
 
 def HAVC_extract_reference_frames(
-    clip: Clip, sc_framedir: str, sc_algo: int = 0, **detect_kwargs
+    clip: Clip,
+    sc_threshold: float = 0.10,
+    sc_tht_offset: int = 1,
+    sc_tht_ssim: float = 0.0,
+    sc_min_int: int = 1,
+    sc_min_freq: int = 0,
+    sc_framedir: str = "./",
+    sc_sequence: bool = False,
+    sc_normalize: bool = False,
+    ref_offset: int = 0,
+    sc_tht_white: float = 0.70,
+    sc_tht_black: float = 0.10,
+    ref_ext: str = "jpg",
+    ref_jpg_quality: int = 95,
+    ref_override: bool = True,
+    sc_algo: int = 0,
+    sc_debug: bool = False,
 ) -> list:
     """Detect scenes + export ref_nnnnnn frames (__init__.py:3272-3352).
 
@@ -719,91 +841,190 @@ def HAVC_extract_reference_frames(
     intra-vs-inter block voting, scene.motion.scene_detect_xvid),
     3 = MVTools motion-vector SCDetection (scene.motion block-SAD;
     thresholds derived like the reference: thscd1 ~ sc_threshold*2500,
-    thscd2 ~ sc_tht_ssim*300)."""
+    thscd2 ~ sc_tht_ssim*300).
+
+    Returns the list of written file paths (the reference returns the
+    flagged clip; in this eager pipeline the flags live on ``clip.sc``
+    and the written paths are the useful artifact)."""
     from .io import export_reference_frames
 
     if sc_algo == 1:
-        edge_kwargs = {
-            "sc_threshold": detect_kwargs.get("sc_threshold", 0.035),
-            "sc_tht_ssim": detect_kwargs.get("sc_tht_ssim", 0.80),
-            "sc_diff_offset": detect_kwargs.get("sc_tht_offset", 2),
-            "sc_min_int": detect_kwargs.get("sc_min_int", 20),
-            "sc_tht_white": detect_kwargs.get("sc_tht_white", 0.70),
-            "sc_tht_black": detect_kwargs.get("sc_tht_black", 0.10),
-        }
-        clip = HAVC_SceneDetectEdges(clip, **edge_kwargs)
+        clip = HAVC_SceneDetectEdges(
+            clip,
+            sc_threshold=sc_threshold,
+            sc_tht_ssim=sc_tht_ssim,
+            sc_tht_offset=sc_tht_offset,
+            sc_min_int=sc_min_int,
+            sc_mult_tht=sc_min_freq if sc_min_freq > 0 else 15,
+            sc_tht_white=sc_tht_white,
+            sc_tht_black=sc_tht_black,
+            sc_debug=sc_debug,
+        )
     elif sc_algo == 2:
         from .scene.motion import scene_detect_xvid
 
         flags = scene_detect_xvid(
-            np.asarray(clip.frames),
-            min_length=detect_kwargs.get("sc_min_int", 1),
+            np.asarray(clip.frames), min_length=sc_min_int
         )
         clip = clip.with_sc(flags)
     elif sc_algo == 3:
         from .scene.motion import scene_detect_motion
 
-        tht = detect_kwargs.get("sc_threshold", 0.10)
-        ssim = detect_kwargs.get("sc_tht_ssim", 0.45)
         flags = scene_detect_motion(
             np.asarray(clip.frames),
-            bad_sad=min(tht * 2500, 1000) / 4096.0,
-            bad_ratio=min(ssim * 300, 300) / 300.0 * 0.6 + 0.2,
-            min_length=detect_kwargs.get("sc_min_int", 1),
+            bad_sad=min(sc_threshold * 2500, 1000) / 4096.0,
+            bad_ratio=min(sc_tht_ssim * 300, 300) / 300.0 * 0.6 + 0.2,
+            min_length=sc_min_int,
         )
         clip = clip.with_sc(flags)
     else:
-        clip = HAVC_SceneDetect(clip, **detect_kwargs)
-    return export_reference_frames(clip, sc_framedir)
+        clip = HAVC_SceneDetect(
+            clip,
+            sc_threshold=sc_threshold,
+            sc_tht_offset=sc_tht_offset,
+            sc_tht_ssim=sc_tht_ssim,
+            sc_min_int=sc_min_int,
+            sc_min_freq=sc_min_freq,
+            sc_normalize=sc_normalize,
+            sc_tht_white=sc_tht_white,
+            sc_tht_black=sc_tht_black,
+            sc_debug=sc_debug,
+        )
+    return export_reference_frames(
+        clip, sc_framedir, ext=ref_ext, ref_offset=ref_offset,
+        ref_jpg_quality=ref_jpg_quality, ref_override=ref_override,
+        sequence=sc_sequence,
+    )
 
 
-def HAVC_export_reference_frames(clip: Clip, sc_framedir: str) -> list:
-    """Export frames already flagged on the clip (__init__.py:3311)."""
+def HAVC_export_reference_frames(
+    clip: Clip,
+    sc_framedir: str = "./",
+    ref_offset: int = 0,
+    ref_ext: str = "jpg",
+    ref_jpg_quality: int = 95,
+    ref_override: bool = True,
+) -> list:
+    """Export frames already flagged on the clip (__init__.py:3364-3385)."""
     from .io import export_reference_frames
 
-    return export_reference_frames(clip, sc_framedir)
-
-
-def HAVC_clip_slice(clip: Clip, rows: int = 2, cols: int = 2, overlap: int = 64):
-    """Overlapping tile slice (HAVC_clip_slice, __init__.py:2886)."""
-    tiles, meta = tiles_ops.slice_tiles(
-        jnp.asarray(clip.frames), rows, cols, overlap
+    return export_reference_frames(
+        clip, sc_framedir, ext=ref_ext, ref_offset=ref_offset,
+        ref_jpg_quality=ref_jpg_quality, ref_override=ref_override,
     )
-    return from_frames(np.asarray(tiles), fps=clip.fps), meta
+
+
+class ClipTiles:
+    """Tile bundle matching the reference's ClipTiles (vstiles4.py:29-46):
+    the original clip, the stacked overlapping tiles, and the slicing
+    geometry needed to reconstruct."""
+
+    def __init__(self, clip_orig: Clip, tiles_clip: Clip, meta: dict,
+                 overlap_x: int, overlap_y: int):
+        self.clip_orig = clip_orig
+        self.tiles_clip = tiles_clip  # all tiles stacked on the batch axis
+        self.meta = meta
+        self.original_width = clip_orig.width
+        self.original_height = clip_orig.height
+        self.base_tile_w = meta["tw"]
+        self.base_tile_h = meta["th"]
+        self.overlap_x = overlap_x
+        self.overlap_y = overlap_y
+
+    @property
+    def tiles(self) -> list:
+        """Per-tile clips in reference order ([tl, tr] or [tl, tr, bl, br])."""
+        t = self.meta["shape"][0]
+        n = len(self.meta["ys"]) * len(self.meta["xs"])
+        frames = self.tiles_clip.frames
+        return [
+            self.tiles_clip.with_frames(frames[i * t : (i + 1) * t])
+            for i in range(n)
+        ]
+
+    def with_tiles(self, tiles_clip: Clip) -> "ClipTiles":
+        """New bundle with processed tile frames (same geometry)."""
+        out = ClipTiles(self.clip_orig, tiles_clip, self.meta,
+                        self.overlap_x, self.overlap_y)
+        return out
+
+    def __len__(self):
+        return len(self.meta["ys"]) * len(self.meta["xs"])
+
+
+def HAVC_clip_slice(
+    clip: Clip, slices: int = 2, overlap_x: int = 32, overlap_y: int = 32,
+) -> ClipTiles:
+    """Overlapping tile slice (HAVC_clip_slice, __init__.py:2886-2911):
+    ``slices=2`` -> two side-by-side tiles (overlap_x only), ``slices=4``
+    -> a 2x2 grid.  Tiles stack on the batch axis so downstream colorizers
+    see a 2x/4x larger batch (the TPU version of per-tile parallelism)."""
+    if slices == 4:
+        rows, cols = 2, 2
+    elif slices == 2:
+        rows, cols = 1, 2
+    else:
+        raise ValueError("HAVC_clip_slice: slices must be 2 or 4")
+    tiles, meta = tiles_ops.slice_tiles(
+        jnp.asarray(clip.frames), rows, cols, overlap_x, overlap_y=overlap_y
+    )
+    tiles_clip = from_frames(np.asarray(tiles), fps=clip.fps)
+    return ClipTiles(clip, tiles_clip, meta, overlap_x,
+                     overlap_y if slices == 4 else 0)
 
 
 def HAVC_clip_reconstruct(
-    clip: Clip, tiles_clip: Clip, meta: dict, recover_luma: bool = True
+    clip_tiles: ClipTiles, blend_weight: float = 0.5,
+    chroma_resize: bool = False,
 ) -> Clip:
-    """Tile blend-reconstruction (HAVC_clip_reconstruct, __init__.py:2916)."""
+    """Tile blend-reconstruction (HAVC_clip_reconstruct, __init__.py:2923-2947):
+    ramp-blends the overlap zones back to the original geometry.
+    ``chroma_resize=True`` re-marries the original clip's luma onto the
+    reconstructed chroma (the reference's Y copy-back). ``blend_weight``
+    is accepted for parity; this implementation always uses the smooth
+    linear-ramp blend (the reference's blend_weight==0 mode), which
+    dominates the fixed-weight mode in seam quality."""
+    del blend_weight
+    clip = clip_tiles.clip_orig
     rec = tiles_ops.reconstruct_tiles(
-        jnp.asarray(tiles_clip.frames),
-        meta,
-        recover_luma=jnp.asarray(clip.frames) if recover_luma else None,
+        jnp.asarray(clip_tiles.tiles_clip.frames),
+        clip_tiles.meta,
+        recover_luma=jnp.asarray(clip.frames) if chroma_resize else None,
     )
     return clip.with_frames(np.asarray(rec))
 
 
 def HAVC_recover_clip_color(
-    clip: Clip,
-    clip_color: Clip,
+    clip: Clip = None,
+    clip_color: Clip = None,
     sat: float = 0.8,
     tht: int = 30,
-    weight: float = 0.0,
+    strength: float = 1.0,
     alpha: float = 2.0,
+    mask_weight: float = 1.0,
     chroma_resize: bool = True,
+    return_mask: bool = False,
     binary_mask: bool = False,
     algo: int = 0,
+    weight: Optional[float] = None,
     batch_size: int = 8,
 ) -> Clip:
     """Restore gray-pixel colors from a donor clip (HAVC_recover_clip_color,
-    __init__.py:2956-2992 -> ChromaRetentionMerge machinery)."""
+    __init__.py:2956-2992 -> ChromaRetentionMerge): ``strength`` is the
+    filter weight (reference clipb_weight), ``mask_weight`` the masked-donor
+    blend weight, ``return_mask=True`` returns the gray-selection mask clip.
+    ``weight`` is a deprecated alias of ``mask_weight``."""
+    if clip is None or clip_color is None:
+        raise ValueError("HAVC_recover_clip_color: clip and clip_color are required")
+    if weight is not None:
+        mask_weight = weight
     fn = cached_jit(
-        ("recover_color", sat, tht, weight, alpha, chroma_resize, binary_mask, algo),
+        ("recover_color", sat, tht, strength, mask_weight, alpha,
+         chroma_resize, return_mask, binary_mask, algo),
         lambda: lambda a, b: merge_ops.chroma_retention_merge(
-            a, b, sat=sat, tht=tht, b_weight=1.0, alpha=alpha,
-            mask_weight=weight, chroma_resize=chroma_resize,
-            binary_mask=binary_mask, algo=algo,
+            a, b, sat=sat, tht=tht, b_weight=strength, alpha=alpha,
+            mask_weight=mask_weight, chroma_resize=chroma_resize,
+            binary_mask=binary_mask, algo=algo, return_mask=return_mask,
         ),
     )
     return _batched2(clip, clip_color, fn, batch_size)
@@ -890,17 +1111,17 @@ def _colortemp_recolor(clip: Clip, clip_colored: Clip, color_temp: int,
 
 def HAVC_main_colorizer(
     clip: Clip,
-    Preset: str = "medium",
-    ColorModel: str = "video+artistic",
-    CombMethod: str = "simple",
-    VideoTune: str = "stable",
-    ColorFix: str = "magenta/violet",
-    ColorTemp: str = "none",
-    ColorTune: str = "medium",
-    ColorMap: str = "none",
+    Preset: str = "Medium",
+    ColorModel: str = "Video+Artistic",
+    CombMethod: str = "Simple",
+    VideoTune: str = "Stable",
+    ColorFix: str = "Magenta/Violet",
+    ColorTemp: str = "None",
+    ColorTune: str = "Medium",
+    ColorMap: str = "None",
     EnableDeepEx: bool = False,
     DeepExMethod: int = 0,
-    DeepExPreset: str = "medium",
+    DeepExPreset: str = "Medium",
     DeepExRefMerge: int = 0,
     DeepExOnlyRefFrames: bool = False,
     ScFrameDir: Optional[str] = None,
@@ -964,6 +1185,7 @@ def HAVC_main_colorizer(
     # Placebo/VerySlow tile slicing geometry (:760-767)
     slices_n = 0
     overlap_x = int(round(max(min((0.5 * clip.width) * 0.2, 192), 64)) // 2 * 2)
+    overlap_y = int(round(max(min((0.5 * clip.height) * 0.2, 108), 64)) // 2 * 2)
     deoldify_rf_n = min(max(math.trunc((0.5 * clip.width + overlap_x) / 16), 22), 32)
     ddcolor_rf_n = deoldify_rf_n
     if speed_id in (0, 1):
@@ -1085,12 +1307,14 @@ def HAVC_main_colorizer(
         if slices_n == 0:
             clip_colored = _colorize(clip, deoldify_rf, ddcolor_rf)
         else:
-            rows = 2 if slices_n == 4 else 1
-            tiles_clip, meta = HAVC_clip_slice(
-                clip, rows=rows, cols=2, overlap=overlap_x
+            ct = HAVC_clip_slice(
+                clip, slices=slices_n, overlap_x=overlap_x,
+                overlap_y=overlap_y,
             )
-            tiles_colored = _colorize(tiles_clip, deoldify_rf_n, ddcolor_rf_n)
-            clip_colored = HAVC_clip_reconstruct(clip, tiles_colored, meta)
+            tiles_colored = _colorize(ct.tiles_clip, deoldify_rf_n, ddcolor_rf_n)
+            clip_colored = HAVC_clip_reconstruct(
+                ct.with_tiles(tiles_colored), chroma_resize=True
+            )
     else:
         fast_kw = dict(
             method=dd_method, mweight=ddcolor_weight,
@@ -1105,16 +1329,18 @@ def HAVC_main_colorizer(
                 **fast_kw,
             )
         else:
-            rows = 2 if slices_n == 4 else 1
-            tiles_clip, meta = HAVC_clip_slice(
-                clip, rows=rows, cols=2, overlap=overlap_x
+            ct = HAVC_clip_slice(
+                clip, slices=slices_n, overlap_x=overlap_x,
+                overlap_y=overlap_y,
             )
             tiles_colored = HAVC_colorizer_fast(
-                tiles_clip, deoldify_p=(do_model, deoldify_rf_n, 1.0, 0.0),
+                ct.tiles_clip, deoldify_p=(do_model, deoldify_rf_n, 1.0, 0.0),
                 ddcolor_p=(dd_model, ddcolor_rf_n, 1.0, 0.0, enable_fp16),
                 **fast_kw,
             )
-            clip_colored = HAVC_clip_reconstruct(clip, tiles_colored, meta)
+            clip_colored = HAVC_clip_reconstruct(
+                ct.with_tiles(tiles_colored), chroma_resize=True
+            )
 
     if color_temp > 0:
         clip_colored = _colortemp_recolor(
@@ -1151,21 +1377,21 @@ def HAVC_main_colorizer(
 
 def HAVC_main_presets(
     clip: Clip,
-    Preset: str = "medium",
+    Preset: str = "Medium",
     FrameInterp: int = 0,
-    ColorModel: str = "video+artistic",
-    CombMethod: str = "simple",
-    VideoTune: str = "stable",
-    ColorFix: str = "magenta/violet",
-    ColorTune: str = "light",
-    ColorMap: str = "none",
-    ColorTemp: str = "none",
-    BlackWhiteTune: str = "none",
+    ColorModel: str = "Video+Artistic",
+    CombMethod: str = "Simple",
+    VideoTune: str = "Stable",
+    ColorFix: str = "Magenta/Violet",
+    ColorTune: str = "Light",
+    ColorMap: str = "None",
+    ColorTemp: str = "None",
+    BlackWhiteTune: str = "None",
     BlackWhiteMode: int = 0,
     BlackWhiteBlend: bool = True,
     EnableDeepEx: bool = False,
     DeepExMethod: int = 0,
-    DeepExPreset: str = "medium",
+    DeepExPreset: str = "Medium",
     DeepExRefMerge: int = 0,
     DeepExOnlyRefFrames: bool = False,
     ScFrameDir: Optional[str] = None,
@@ -1272,16 +1498,16 @@ def HAVC_main_presets(
 
 def HAVC_veryslow_preset(
     clip: Clip,
-    Preset: str = "slower",
+    Preset: str = "Slower",
     FrameInterp: int = 0,
-    ColorModel: str = "video+artistic",
-    CombMethod: str = "simple",
-    VideoTune: str = "stable",
-    ColorFix: str = "magenta/violet",
-    ColorTune: str = "light",
-    ColorMap: str = "none",
-    ColorTemp: str = "none",
-    BlackWhiteTune: str = "none",
+    ColorModel: str = "Video+Artistic",
+    CombMethod: str = "Simple",
+    VideoTune: str = "Stable",
+    ColorFix: str = "Magenta/Violet",
+    ColorTune: str = "Light",
+    ColorMap: str = "None",
+    ColorTemp: str = "None",
+    BlackWhiteTune: str = "None",
     BlackWhiteMode: int = 0,
     BlackWhiteBlend: bool = True,
     EnableDeepEx: bool = False,
@@ -1380,15 +1606,15 @@ def HAVC_veryslow_preset(
 
 def HAVC_placebo_preset(
     clip: Clip,
-    CombMethod: str = "simple",
-    VideoTune: str = "stable",
-    ColorModel: str = "video+artistic",
-    ColorFix: str = "magenta/violet",
-    ColorTune: str = "light",
-    ColorMap: str = "none",
-    ColorTemp: str = "none",
+    CombMethod: str = "Simple",
+    VideoTune: str = "Stable",
+    ColorModel: str = "Video+Artistic",
+    ColorFix: str = "Magenta/Violet",
+    ColorTune: str = "Light",
+    ColorMap: str = "None",
+    ColorTemp: str = "None",
     FrameInterp: int = 0,
-    BlackWhiteTune: str = "none",
+    BlackWhiteTune: str = "None",
     BlackWhiteMode: int = 0,
     BlackWhiteBlend: bool = True,
     RefRange: tuple = (0, 0),
@@ -1435,21 +1661,21 @@ def HAVC_placebo_preset(
 
 def HAVC_main(
     clip: Clip,
-    Preset: str = "medium",
+    Preset: str = "Medium",
     FrameInterp: int = 0,
-    ColorModel: str = "video+artistic",
-    CombMethod: str = "simple",
-    VideoTune: str = "stable",
-    ColorFix: str = "magenta/violet",
-    ColorTune: str = "light",
-    ColorMap: str = "none",
-    ColorTemp: str = "none",
-    BlackWhiteTune: str = "none",
+    ColorModel: str = "Video+Artistic",
+    CombMethod: str = "Simple",
+    VideoTune: str = "Stable",
+    ColorFix: str = "Magenta/Violet",
+    ColorTune: str = "Light",
+    ColorMap: str = "None",
+    ColorTemp: str = "None",
+    BlackWhiteTune: str = "None",
     BlackWhiteMode: int = 0,
     BlackWhiteBlend: bool = True,
     EnableDeepEx: bool = False,
     DeepExMethod: int = 0,
-    DeepExPreset: str = "medium",
+    DeepExPreset: str = "Medium",
     DeepExRefMerge: int = 0,
     DeepExOnlyRefFrames: bool = False,
     ScFrameDir: Optional[str] = None,
@@ -1524,27 +1750,67 @@ def HAVC_main(
 
 def HAVC_clip_overlay(
     base: Clip,
-    overlay_clip: Clip,
+    overlay: Clip = None,
     x: int = 0,
     y: int = 0,
     mask: Optional[Clip] = None,
     opacity: float = 1.0,
     mode: str = "normal",
+    planes=None,
+    mask_first_plane: bool = True,
+    overlay_clip: Optional[Clip] = None,
     batch_size: int = 8,
 ) -> Clip:
-    """Blend-mode compositor (HAVC_clip_overlay, __init__.py:3029-3148)."""
+    """Blend-mode compositor (HAVC_clip_overlay, __init__.py:3029-3148):
+    9 blend modes, x/y placement, optional mask + opacity.  ``planes``
+    selects which RGB channels are processed (others copy from base);
+    ``mask_first_plane=False`` uses each mask channel for its own plane.
+    ``overlay_clip`` is a deprecated alias of ``overlay``."""
     from .ops.overlay import overlay as op_overlay
 
-    mask_frames = (
-        jnp.asarray(mask.frames)[..., 0] if mask is not None else None
+    if overlay is None:
+        overlay = overlay_clip
+    if overlay is None:
+        raise ValueError("HAVC_clip_overlay: overlay clip is required")
+    if planes is None:
+        plane_sel = (0, 1, 2)
+    elif isinstance(planes, int):
+        plane_sel = (planes,)
+    else:
+        plane_sel = tuple(planes)
+
+    per_plane_mask = (
+        mask is not None and not mask_first_plane
+        and np.asarray(mask.frames).ndim == 4
     )
+    mask_frames = None
+    if mask is not None:
+        mf = jnp.asarray(mask.frames)
+        mask_frames = mf if per_plane_mask else (mf[..., 0] if mf.ndim == 4 else mf)
+
+    def _compose(b, o, m):
+        if per_plane_mask:
+            outs = [
+                op_overlay(b, o, x, y, m[..., c], opacity, mode)[..., c]
+                for c in range(3)
+            ]
+            out = jnp.stack(outs, axis=-1)
+        else:
+            out = op_overlay(b, o, x, y, m, opacity, mode)
+        if plane_sel != (0, 1, 2):
+            keep = jnp.asarray(
+                [1.0 if c in plane_sel else 0.0 for c in range(3)], b.dtype
+            )
+            out = out * keep + b * (1.0 - keep)
+        return out
+
     fn = cached_jit(
-        ("overlay", x, y, mode, opacity, mask is not None,
-         base.height, base.width, overlay_clip.height, overlay_clip.width),
+        ("overlay", x, y, mode, opacity, mask is not None, per_plane_mask,
+         plane_sel, base.height, base.width, overlay.height, overlay.width),
         lambda: (
-            (lambda b, o, m: op_overlay(b, o, x, y, m, opacity, mode))
+            (lambda b, o, m: _compose(b, o, m))
             if mask is not None
-            else (lambda b, o: op_overlay(b, o, x, y, None, opacity, mode))
+            else (lambda b, o: _compose(b, o, None))
         ),
     )
     T = base.num_frames
@@ -1552,7 +1818,7 @@ def HAVC_clip_overlay(
     outs = []
     for s in range(0, T, batch_size):
         b = jnp.asarray(base.frames[s : s + batch_size])
-        o = jnp.asarray(overlay_clip.frames[s : s + batch_size])
+        o = jnp.asarray(overlay.frames[s : s + batch_size])
         if mask is not None:
             m = mask_frames[s : s + batch_size]
             r = fn(b, o, m)
@@ -1624,7 +1890,7 @@ def HAVC_main_restore(
     DeepExMethod: int = 5,
     DeepExVivid: bool = True,
     DeepExEncMode: int = 0,
-    BlackWhiteTune: str = "medium",
+    BlackWhiteTune: str = "Medium",
     BlackWhiteMode: int = 0,
     BlackWhiteBlend: bool = True,
     chroma_resize: bool = False,
@@ -1690,7 +1956,7 @@ def HAVC_main_restore(
 
 def HAVC_ColorAdjust(
     clip: Clip,
-    BlackWhiteTune: str = "light",
+    BlackWhiteTune: str = "Light",
     BlackWhiteMode: int = 0,
     BlackWhiteBlend: bool = True,
     ReColor: bool = True,
@@ -1758,30 +2024,34 @@ def HAVC_ColorAdjust(
 def HAVC_SceneDetectEdges(
     clip: Clip,
     sc_threshold: float = 0.035,
-    sc_frequency: int = 0,
+    sc_tht_offset: int = 2,
     sc_tht_ssim: float = 0.80,
-    sc_diff_offset: int = 2,
     sc_min_int: int = 20,
     sc_mult_tht: int = 15,
     sc_tht_white: float = 0.70,
     sc_tht_black: float = 0.10,
+    sc_debug: bool = False,
 ) -> Clip:
-    """Edge-based scene detection (HAVC_SceneDetectEdges, __init__.py:3219;
-    vsscdetect_edge.py:32-260 — draft retinex edge mask, offset-frame diff,
-    multi-threshold decision reasons, luma gates, SSIM confirmation)."""
+    """Edge-based scene detection (HAVC_SceneDetectEdges, __init__.py:3227;
+    vsscdetect_edge.py:32-260 — retinex edge mask, offset-frame diff,
+    multi-threshold decision reasons, luma gates, SSIM confirmation).
+    ``sc_tht_offset`` maps to the internal detector's frame-diff offset
+    (the reference passes it as ``sc_diff_offset``)."""
     from .scene.edges import scene_detect_edges
 
     flags = scene_detect_edges(
         np.asarray(clip.frames),
         threshold=sc_threshold,
-        frequency=sc_frequency,
-        sc_diff_offset=sc_diff_offset,
+        frequency=0,
+        sc_diff_offset=sc_tht_offset,
         sc_min_int=sc_min_int,
         sc_mult_tht=sc_mult_tht,
         tht_white=sc_tht_white,
         tht_black=sc_tht_black,
         sc_tht_ssim=sc_tht_ssim,
     )
+    if sc_debug:
+        print("HAVC-SC-EDGES:", list(np.nonzero(flags.sc_prev)[0]))
     return clip.with_sc(flags)
 
 
@@ -1793,11 +2063,37 @@ def HAVC_read_video(path: str, fpsnum: int = 0, fpsden: int = 1, **kwargs) -> Cl
     return read_video(path, fps_force=fps_force, **kwargs)
 
 
-def HAVC_export_list_frames(clip: Clip, sc_framedir: str, frame_list: list) -> list:
-    """Export an explicit frame list (vs_list_export_frames analog)."""
+def HAVC_export_list_frames(
+    clip: Clip,
+    sc_framedir: str = "./",
+    ref_list: Optional[list] = None,
+    offset: int = 0,
+    ref_ext: str = "jpg",
+    ref_jpg_quality: int = 95,
+    ref_override: bool = True,
+    fast_extract: bool = True,
+    frame_list: Optional[list] = None,
+) -> list:
+    """Export an explicit frame list (HAVC_export_list_frames,
+    __init__.py:3387-3416 -> vs_list_export_frames).  A single-element
+    ``ref_list=[N]`` exports a frame every N frames; ``fast_extract`` is
+    accepted for compatibility (frames here are always random-access).
+    ``frame_list`` is a deprecated alias of ``ref_list``."""
+    del fast_extract
     from .io import export_reference_frames
 
-    return export_reference_frames(clip, sc_framedir, frame_list=frame_list)
+    if ref_list is None:
+        ref_list = frame_list
+    if not ref_list:
+        return []
+    if len(ref_list) == 1:
+        step = int(ref_list[0])
+        ref_list = list(range(0, clip.num_frames, max(step, 1)))
+    return export_reference_frames(
+        clip, sc_framedir, ext=ref_ext, frame_list=ref_list,
+        ref_offset=offset, ref_jpg_quality=ref_jpg_quality,
+        ref_override=ref_override,
+    )
 
 
 def HAVC_DeepRemaster(*args, **kwargs):
@@ -1831,46 +2127,133 @@ _GLOBAL_PARAMS = {
 }
 
 
-def HAVC_set_tweak_params(**kwargs):
-    """Mutate the module-global DDColor tweak defaults
-    (HAVC_set_tweak_params, __init__.py:3418)."""
+def HAVC_set_tweak_params(tweaks_param: Optional[list] = None, **kwargs):
+    """Set the global DDColor tweak defaults (HAVC_set_tweak_params,
+    __init__.py:3418-3438).  ``tweaks_param`` is the reference's 8-slot
+    list [bright, cont, gamma, luma_constrained_tweak, luma_min,
+    gamma_luma_min, gamma_alpha, gamma_min]; individual slots can also be
+    set by keyword name.  The shared DEF_TWEAK_p list is mutated in place
+    so every engine default bound to it sees the update."""
+    if tweaks_param is not None:
+        DEF_TWEAK_p[:] = list(tweaks_param)
     names = ["bright", "cont", "gamma", "luma_constrained_tweak", "luma_min",
              "gamma_luma_min", "gamma_alpha", "gamma_min"]
     for k, v in kwargs.items():
         if k in names:
-            _GLOBAL_PARAMS["tweak"][names.index(k)] = v
-    return list(_GLOBAL_PARAMS["tweak"])
+            DEF_TWEAK_p[names.index(k)] = v
+    _GLOBAL_PARAMS["tweak"] = list(DEF_TWEAK_p)
+    return list(DEF_TWEAK_p)
 
 
-def HAVC_set_merge_params(cmc_p=None, lmm_p=None, alm_p=None, crt_p=None):
-    """Mutate the global merge parameter packs (HAVC_set_merge_params)."""
+def HAVC_set_merge_params(method: int = 2, merge_params: Optional[list] = None,
+                          cmc_p=None, lmm_p=None, alm_p=None, crt_p=None):
+    """Set the global merge parameter pack for a combine method
+    (HAVC_set_merge_params, __init__.py:3453-3520): method 3/7 -> CMC,
+    4 -> LMM, 5 -> ALM, 6 -> CRT; methods 0-2 take no parameters.  The
+    named ``cmc_p``/``lmm_p``/... keywords are an additional direct form.
+    Packs are mutated in place so defaults bound to them see updates."""
+    if merge_params is not None:
+        if method in (3, 7):
+            cmc_p = merge_params
+        elif method == 4:
+            lmm_p = merge_params
+        elif method == 5:
+            alm_p = merge_params
+        elif method == 6:
+            crt_p = merge_params
+        elif method not in (0, 1, 2):
+            raise ValueError(f"HAVC_set_merge_params: unsupported method: {method}")
     if cmc_p is not None:
+        DEF_CMC_p[:] = list(cmc_p)
         _GLOBAL_PARAMS["cmc"] = list(cmc_p)
     if lmm_p is not None:
+        DEF_LMM_p[:] = list(lmm_p)
         _GLOBAL_PARAMS["lmm"] = list(lmm_p)
     if alm_p is not None:
+        DEF_ALM_p[:] = list(alm_p)
         _GLOBAL_PARAMS["alm"] = list(alm_p)
     if crt_p is not None:
+        DEF_CRT_p[:] = list(crt_p)
         _GLOBAL_PARAMS["crt"] = list(crt_p)
     return dict(_GLOBAL_PARAMS)
 
 
-def ddeoldify(clip: Clip, *args, **kwargs) -> Clip:
-    """Deprecated legacy entry -> HAVC_main (__init__.py:3612-3663)."""
-    import warnings
-
-    warnings.warn("ddeoldify() is deprecated; use HAVC_main()", DeprecationWarning)
-    return HAVC_main(clip, *args, **kwargs)
-
-
-def HAVC_ddeoldify(clip: Clip, *args, **kwargs) -> Clip:
-    """Deprecated legacy entry -> HAVC_colorizer."""
+def HAVC_ddeoldify(
+    clip: Clip,
+    method: int = 2,
+    mweight: float = 0.4,
+    deoldify_p=(0, 24, 1.0, 0.0),
+    ddcolor_p=(1, 24, 1.0, 0.0, True),
+    ddtweak: bool = False,
+    ddtweak_p=(DEF_TWEAK_p, "300:360|0.8,0.1"),
+    cmc_tresh: float = 0.2,
+    lmm_p=(0.2, 0.8, 1.0),
+    alm_p=(0.8, 1.0, 0.15),
+    cmb_sw: bool = False,
+    sc_threshold: float = 0.0,
+    sc_tht_offset: int = 1,
+    sc_min_freq: int = 0,
+    sc_tht_ssim: float = 0.0,
+    sc_normalize: bool = False,
+    sc_min_int: int = 1,
+    sc_tht_white: float = 0.70,
+    sc_tht_black: float = 0.10,
+    device_index: int = 0,
+    torch_dir: Optional[str] = None,
+    sc_debug: bool = False,
+    batch_size: int = 8,
+) -> Clip:
+    """Deprecated legacy entry -> HAVC_colorizer (__init__.py:3612-3629):
+    scalar ddtweak becomes the 3-flag pack and cmc_tresh seeds the CMC
+    parameter list like the reference forward."""
     import warnings
 
     warnings.warn(
         "HAVC_ddeoldify() is deprecated; use HAVC_colorizer()", DeprecationWarning
     )
-    return HAVC_colorizer(clip, *args, **kwargs)
+    return HAVC_colorizer(
+        clip, method, mweight, deoldify_p, ddcolor_p,
+        (bool(ddtweak), False, False), ddtweak_p,
+        [cmc_tresh] + list(DEF_CMC_p[1:]), lmm_p, alm_p, DEF_CRT_p, cmb_sw,
+        sc_threshold, sc_tht_offset, sc_min_freq, sc_tht_ssim, sc_normalize,
+        sc_min_int, sc_tht_white, sc_tht_black, device_index, torch_dir,
+        debug_level=2 if sc_debug else 0, batch_size=batch_size,
+    )
+
+
+def ddeoldify(
+    clip: Clip,
+    method: int = 2,
+    mweight: float = 0.4,
+    deoldify_p=(0, 24, 1.0, 0.0),
+    ddcolor_p=(1, 24, 1.0, 0.0, True),
+    dotweak: bool = False,
+    dotweak_p=(0.0, 1.0, 1.0, False, 0.2, 0.5, 1.5, 0.5),
+    ddtweak: bool = False,
+    ddtweak_p=(DEF_TWEAK_p, "300:360|0.8,0.1"),
+    degrain_strength: int = 0,
+    cmc_tresh: float = 0.2,
+    lmm_p=(0.2, 0.8, 1.0),
+    alm_p=(0.8, 1.0, 0.15),
+    cmb_sw: bool = False,
+    device_index: int = 0,
+    torch_dir: Optional[str] = None,
+    batch_size: int = 8,
+) -> Clip:
+    """Deprecated legacy entry -> HAVC_colorizer (__init__.py:3642-3653);
+    ``dotweak``/``dotweak_p``/``degrain_strength`` are accepted and
+    dropped exactly like the reference's forward."""
+    import warnings
+
+    warnings.warn("ddeoldify() is deprecated; use HAVC_colorizer()", DeprecationWarning)
+    del dotweak, dotweak_p, degrain_strength
+    return HAVC_colorizer(
+        clip, method, mweight, deoldify_p, ddcolor_p,
+        (bool(ddtweak), False, False), ddtweak_p,
+        [cmc_tresh] + list(DEF_CMC_p[1:]), lmm_p, alm_p, DEF_CRT_p, cmb_sw,
+        sc_threshold=0, sc_min_freq=0, device_index=device_index,
+        torch_dir=torch_dir, batch_size=batch_size,
+    )
 
 
 __all__ += [
@@ -1920,6 +2303,33 @@ def HAVC_SceneDetectMotion(
 __all__ += ["HAVC_degrain", "HAVC_SceneDetectMotion"]
 
 
+def vs_frame_interpolation(clip: Clip, clip_ref: Clip, frame_interp: int = 5,
+                           chroma_adjust: str = "none",
+                           process_id: int = 1, batch_size: int = 8) -> Clip:
+    """Color frame interpolation (vs_frame_interpolation,
+    __init__.py:2138-2157): public form of the exemplar-propagation
+    interpolator used by HAVC_colorizer_fast and the Placebo preset."""
+    return _frame_interpolation(
+        clip, clip_ref, frame_interp, chroma_adjust, process_id, batch_size
+    )
+
+
+def disable_warnings():
+    """Silence noisy third-party loggers (disable_warnings,
+    __init__.py:3583-3603; the reference blocks matplotlib/PIL/torch/dinov2
+    warnings that break its RPC server — here the equivalent set is JAX's
+    platform chatter plus the same generic warning categories)."""
+    import logging
+    import warnings as _w
+
+    for module in ("jax", "jax._src.xla_bridge", "flax", "matplotlib",
+                   "PIL", "numpy", "absl"):
+        logging.getLogger(module).setLevel(logging.ERROR)
+    _w.simplefilter(action="ignore", category=FutureWarning)
+    _w.simplefilter(action="ignore", category=UserWarning)
+    _w.simplefilter(action="ignore", category=DeprecationWarning)
+
+
 def HAVC_cmnet(clip: Clip, clip_ref: Optional[Clip] = None, **kwargs) -> Clip:
     """First ColorMNet instance front-end (HAVC_cmnet; same body as
     HAVC_deepex pinned to ex_model=0)."""
@@ -1927,23 +2337,54 @@ def HAVC_cmnet(clip: Clip, clip_ref: Optional[Clip] = None, **kwargs) -> Clip:
     return HAVC_deepex(clip, clip_ref, **kwargs)
 
 
-def ddeoldify_main(clip: Clip, *args, **kwargs) -> Clip:
-    """Deprecated legacy entry -> HAVC_main (__init__.py:3612)."""
+def ddeoldify_main(
+    clip: Clip,
+    Preset: str = "Fast",
+    VideoTune: str = "Stable",
+    ColorFix: str = "Violet/Red",
+    ColorTune: str = "Light",
+    ColorMap: str = "None",
+    degrain_strength: int = 0,
+    enable_fp16: bool = True,
+    batch_size: int = 8,
+) -> Clip:
+    """Deprecated legacy entry -> HAVC_main (__init__.py:3631-3639);
+    ``degrain_strength`` is accepted and dropped like the reference."""
     import warnings
 
     warnings.warn("ddeoldify_main() is deprecated; use HAVC_main()", DeprecationWarning)
-    return HAVC_main(clip, *args, **kwargs)
+    del degrain_strength
+    return HAVC_main(
+        clip, Preset=Preset, VideoTune=VideoTune, ColorFix=ColorFix,
+        ColorTune=ColorTune, ColorMap=ColorMap, enable_fp16=enable_fp16,
+        batch_size=batch_size,
+    )
 
 
-def ddeoldify_stabilizer(clip: Clip, *args, **kwargs) -> Clip:
-    """Deprecated legacy entry -> HAVC_stabilizer."""
+def ddeoldify_stabilizer(
+    clip: Clip,
+    dark: bool = False,
+    dark_p=(0.2, 0.8),
+    smooth: bool = False,
+    smooth_p=(0.3, 0.7, 0.9, 0.0, "none"),
+    stab: bool = False,
+    stab_p=(5, "A", 1, 15, 0.2, 0.80),
+    colormap: str = "none",
+    render_factor: int = 24,
+    batch_size: int = 8,
+) -> Clip:
+    """Deprecated legacy entry -> HAVC_stabilizer (__init__.py:3656-3663)."""
     import warnings
 
     warnings.warn(
         "ddeoldify_stabilizer() is deprecated; use HAVC_stabilizer()",
         DeprecationWarning,
     )
-    return HAVC_stabilizer(clip, *args, **kwargs)
+    return HAVC_stabilizer(
+        clip, dark=dark, dark_p=dark_p, smooth=smooth, smooth_p=smooth_p,
+        stab=stab, stab_p=stab_p, colormap=colormap,
+        render_factor=render_factor, batch_size=batch_size,
+    )
 
 
 __all__ += [
@@ -1952,4 +2393,7 @@ __all__ += [
     "HAVC_veryslow_preset",
     "ddeoldify_main",
     "ddeoldify_stabilizer",
+    "vs_frame_interpolation",
+    "disable_warnings",
+    "ClipTiles",
 ]

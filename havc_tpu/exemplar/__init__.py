@@ -844,6 +844,8 @@ _ENGINE_CACHE: dict = {}
 
 
 def _get_engine(kind: str, **kw):
+    if isinstance(kw.get("speed"), str):
+        kw["speed"] = kw["speed"].lower()  # presets are case-insensitive
     key = (kind, tuple(sorted(kw.items())))
     if key not in _ENGINE_CACHE:
         if kind == "colormnet":
@@ -1063,7 +1065,7 @@ def _exemplar_dispatch(
 
 
 def HAVC_deepex(
-    clip: Clip,
+    clip: Clip = None,
     clip_ref: Optional[Clip] = None,
     method: int = 0,
     render_speed: str = "medium",
@@ -1131,6 +1133,8 @@ def HAVC_deepex(
     the dev-scale 'micro'), ``batch_size``, and ``vivid`` (legacy alias
     of render_vivid).
     """
+    if clip is None:
+        raise ValueError("HAVC_deepex: clip is required")
     if vivid is not None:
         render_vivid = vivid
     engine_config = resolve_engine_config(engine_config)
@@ -1288,7 +1292,7 @@ def HAVC_deepex(
 
 
 def HAVC_cmnet2(
-    clip: Clip,
+    clip: Clip = None,
     clip_ref: Optional[Clip] = None,
     render_speed: str = "medium",
     render_vivid: bool = True,
@@ -1325,8 +1329,8 @@ def HAVC_cmnet2(
 
 
 def HAVC_restore_video(
-    clip: Clip,
-    clip_ref: Clip,
+    clip: Clip = None,
+    clip_ref: Clip = None,
     method: int = 6,
     render_speed: str = "medium",
     ex_model: int = 0,
@@ -1360,6 +1364,8 @@ def HAVC_restore_video(
     parallel jobs); both map to the same engine here.  ``torch_dir``
     re-points the converted-weights directory.
     """
+    if clip is None or clip_ref is None:
+        raise ValueError("HAVC_restore_video: clip and clip_ref are required")
     if method not in (5, 6):
         raise ValueError("HAVC: Video restore is supported only with methods: 5, 6")
     if torch_dir is not None:

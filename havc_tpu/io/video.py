@@ -111,18 +111,28 @@ def export_reference_frames(
     out_dir: str,
     ext: str = DEF_EXPORT_FORMAT,
     frame_list=None,
+    ref_offset: int = 0,
+    ref_jpg_quality: int = DEF_JPG_QUALITY,
+    ref_override: bool = True,
+    sequence: bool = False,
 ) -> list:
     """Export scene-change (or listed) frames as ref_nnnnnn images
-    (vs_sc_export_frames / vs_list_export_frames analog)."""
+    (vs_sc_export_frames / vs_list_export_frames analog,
+    vsslib/vsutils.py:147-303): ``ref_offset`` is added to the emitted
+    number, ``sequence=True`` renumbers consecutively instead of using
+    the source frame index, ``ref_override=False`` skips existing files."""
     os.makedirs(out_dir, exist_ok=True)
     if frame_list is None:
         if clip.sc is None:
             raise ValueError("clip has no scene flags and no frame_list given")
         frame_list = list(np.nonzero(clip.sc.sc_prev)[0])
     written = []
-    for n in frame_list:
-        path = os.path.join(out_dir, ref_frame_name(int(n), ext))
-        write_image(np.asarray(clip.frames[int(n)]), path)
+    for i, n in enumerate(frame_list):
+        num = (i if sequence else int(n)) + ref_offset
+        path = os.path.join(out_dir, ref_frame_name(num, ext))
+        if not ref_override and os.path.exists(path):
+            continue
+        write_image(np.asarray(clip.frames[int(n)]), path, quality=ref_jpg_quality)
         written.append(path)
     return written
 

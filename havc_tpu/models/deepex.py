@@ -52,13 +52,14 @@ _VGG_MEAN_BGR = (103.939, 116.779, 123.68)
 
 
 def get_deepex_size(speed: str = "medium") -> Tuple[int, int]:
-    """render speed -> (H, W) (deepex/__init__.py get_deepex_size)."""
+    """render speed -> (H, W) (deepex/__init__.py get_deepex_size);
+    case-insensitive like the reference's preset handling."""
     return {
         "fast": (144, 256),
         "medium": (216, 384),
         "slow": (288, 512),
         "slower": (360, 640),
-    }[speed]
+    }[speed.lower()]
 
 
 def _vgg_preprocess(rgb01: jnp.ndarray) -> jnp.ndarray:

@@ -260,10 +260,13 @@ def chroma_retention_merge(
     chroma_resize: bool = True,
     binary_mask: bool = False,
     algo: int = 0,
+    return_mask: bool = False,
 ) -> jnp.ndarray:
     """Method 6 (mcomb.ChromaRetentionMerge): restore colors of gray pixels
     of ``a`` from ``b``, optionally at reduced "chroma resolution" with the
-    full-res luma re-married afterwards."""
+    full-res luma re-married afterwards.  ``return_mask=True`` returns the
+    gray-pixel selection mask as a 3-channel image (reference
+    ChromaRetentionMerge return_mask debugging aid)."""
     alpha = max(min(alpha, 10.0), 1.0)
     h, w = a.shape[-3], a.shape[-2]
     work_a, work_b = a, b
@@ -280,13 +283,19 @@ def chroma_retention_merge(
         # to repair: restore_color(color=b, gray=a)
         restored = restore_color(
             color=work_b, gray=work_a, sat=sat, tht=tht,
-            weight=mask_weight, tht_scen=1.0,
+            weight=mask_weight, tht_scen=1.0, return_mask=return_mask,
         )
     else:
         restored = restore_color_gradient(
             color=work_b, gray=work_a, sat=sat, tht=tht,
             weight=mask_weight, alpha=alpha, algo=algo,
+            return_mask=return_mask,
         )
+    if return_mask:
+        mask = restored[..., None] * jnp.ones((3,), restored.dtype)
+        if did_resize:
+            mask = resize(mask, h, w, "spline64")
+        return jnp.clip(mask, 0.0, 1.0)
     if did_resize:
         restored = resize(restored, h, w, "spline64")
         # re-marry full-res luma (vs_sc_recover_clip_luma)

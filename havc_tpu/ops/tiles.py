@@ -34,15 +34,19 @@ def _tile_bounds(size: int, n: int, overlap: int):
 
 
 def slice_tiles(
-    frames: jnp.ndarray, rows: int = 2, cols: int = 2, overlap: int = 64
+    frames: jnp.ndarray, rows: int = 2, cols: int = 2, overlap: int = 64,
+    overlap_y: int | None = None,
 ):
     """Slice ``(T, H, W, C)`` into overlapping tiles stacked on the batch axis.
 
     Returns ``(tiles, meta)`` where tiles is ``(rows*cols*T, th, tw, C)``
     (tile-major) and meta carries the geometry for reconstruction.
+    ``overlap`` is the horizontal (x) overlap; ``overlap_y`` the vertical,
+    defaulting to ``overlap`` (the reference exposes both,
+    vstiles4.py:48-107).
     """
     t, h, w, c = frames.shape
-    ys, th = _tile_bounds(h, rows, overlap)
+    ys, th = _tile_bounds(h, rows, overlap if overlap_y is None else overlap_y)
     xs, tw = _tile_bounds(w, cols, overlap)
     parts = []
     for y0 in ys:

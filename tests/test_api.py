@@ -181,10 +181,22 @@ class TestUtilities:
         assert out.sc is not None and out.sc.sc_prev[0] == 1
 
     def test_slice_reconstruct(self, bw_clip):
-        tiles, meta = havc_tpu.HAVC_clip_slice(bw_clip, 2, 2, overlap=16)
-        assert tiles.num_frames == 4 * bw_clip.num_frames
-        rec = havc_tpu.HAVC_clip_reconstruct(bw_clip, tiles, meta, recover_luma=False)
+        # reference signature: slices=2|4, overlap_x/overlap_y
+        # (HAVC_clip_slice __init__.py:2886, HAVC_clip_reconstruct :2922)
+        ct = havc_tpu.HAVC_clip_slice(bw_clip, slices=4, overlap_x=16,
+                                      overlap_y=16)
+        assert ct.tiles_clip.num_frames == 4 * bw_clip.num_frames
+        assert len(ct.tiles) == 4 and len(ct) == 4
+        assert ct.original_width == bw_clip.width
+        rec = havc_tpu.HAVC_clip_reconstruct(ct)
         assert np.abs(np.asarray(rec.frames) - np.asarray(bw_clip.frames)).max() < 1e-4
+
+    def test_slice_reconstruct_2tiles(self, bw_clip):
+        ct = havc_tpu.HAVC_clip_slice(bw_clip, slices=2, overlap_x=16)
+        assert ct.tiles_clip.num_frames == 2 * bw_clip.num_frames
+        assert ct.overlap_y == 0
+        rec = havc_tpu.HAVC_clip_reconstruct(ct, chroma_resize=True)
+        assert rec.width == bw_clip.width and rec.height == bw_clip.height
 
     def test_recover_clip_color(self, bw_clip, rng):
         color = from_frames(rng.random((6, 64, 80, 3), dtype=np.float32))
@@ -196,12 +208,29 @@ class TestUtilities:
 
 class TestGlobalSetters:
     def test_set_tweak_params(self):
-        out = havc_tpu.HAVC_set_tweak_params(bright=0.1, gamma=2.0)
-        assert out[0] == 0.1 and out[2] == 2.0
+        saved = list(havc_tpu.DEF_TWEAK_p)
+        try:
+            out = havc_tpu.HAVC_set_tweak_params(bright=0.1, gamma=2.0)
+            assert out[0] == 0.1 and out[2] == 2.0
+            # reference form: full 8-slot list (HAVC_set_tweak_params,
+            # __init__.py:3418)
+            out = havc_tpu.HAVC_set_tweak_params(saved)
+            assert out == saved
+        finally:
+            havc_tpu.HAVC_set_tweak_params(saved)
 
     def test_set_merge_params(self):
-        out = havc_tpu.HAVC_set_merge_params(cmc_p=[0.2, False, 10, 12])
-        assert out["cmc"] == [0.2, False, 10, 12]
+        from havc_tpu.ops.merge import DEF_CMC_p
+
+        saved = list(DEF_CMC_p)
+        try:
+            out = havc_tpu.HAVC_set_merge_params(cmc_p=[0.2, False, 10, 12])
+            assert out["cmc"] == [0.2, False, 10, 12]
+            # reference form: (method, merge_params) with 3/7 -> CMC
+            out = havc_tpu.HAVC_set_merge_params(3, [0.3, True, 15, 20])
+            assert DEF_CMC_p == [0.3, True, 15, 20]
+        finally:
+            havc_tpu.HAVC_set_merge_params(cmc_p=saved)
 
     def test_legacy_shims_warn(self, bw_clip):
         import warnings
@@ -210,6 +239,103 @@ class TestGlobalSetters:
             warnings.simplefilter("always")
             havc_tpu.ddeoldify_stabilizer(bw_clip, render_factor=16, batch_size=4)
             assert any(issubclass(x.category, DeprecationWarning) for x in w)
+
+
+class TestUtilitySurface:
+    """Round-3 M3: reference-faithful utility signatures + semantics."""
+
+    def test_auto_levels_no_warm_cast(self, bw_clip):
+        """vs_auto_levels (havc_utils.py:785-838) has NO rgb_balance step:
+        a neutral gray input must stay neutral (bw_tune would warm it)."""
+        out = havc_tpu.HAVC_auto_levels(bw_clip, mode="Strong", method=1,
+                                        batch_size=4)
+        f = np.asarray(out.frames)
+        assert np.abs(f[..., 0] - f[..., 1]).max() < 1e-4
+        assert np.abs(f[..., 1] - f[..., 2]).max() < 1e-4
+        # bw_tune at the same settings DOES color-cast (r_factor=0.92)
+        tuned = havc_tpu.HAVC_bw_tune(bw_clip, "Strong", bw_method=1,
+                                      batch_size=4)
+        tf = np.asarray(tuned.frames)
+        assert np.abs(tf[..., 0] - tf[..., 1]).max() > 1e-3
+
+    def test_auto_levels_defaults(self):
+        import inspect
+
+        sig = inspect.signature(havc_tpu.HAVC_auto_levels).parameters
+        # reference HAVC_auto_levels defaults (__init__.py:3150)
+        assert sig["mode"].default == "Light"
+        assert sig["method"].default == 0
+        assert sig["luma_blend"].default is False
+        assert sig["range_tv"].default is True
+
+    def test_rgb_denoise_signature(self, bw_clip):
+        out = havc_tpu.HAVC_rgb_denoise(
+            bw_clip, denoise_levels=(0.4, 0.3),
+            rgb_factors=(0.95, 1.05, 1.01), batch_size=4,
+        )
+        assert out.num_frames == bw_clip.num_frames
+        f = np.asarray(out.frames)
+        assert np.isfinite(f).all() and 0 <= f.min() and f.max() <= 1
+
+    def test_recover_color_return_mask(self, bw_clip, rng):
+        color = from_frames(rng.random((6, 64, 80, 3), dtype=np.float32))
+        mask = havc_tpu.HAVC_recover_clip_color(
+            bw_clip, color, return_mask=True, chroma_resize=False,
+            batch_size=4,
+        )
+        m = np.asarray(mask.frames)
+        assert m.shape == (6, 64, 80, 3)
+        # grayscale input is fully "gray" -> mask saturates to 1
+        assert m.min() >= 0.99
+
+    def test_export_sequence_offset_override(self, bw_clip, tmp_path):
+        sc = np.zeros(6, dtype=np.int64)
+        sc[0] = sc[3] = 1
+        from havc_tpu.scene.detect import SceneFlags
+
+        flagged = bw_clip.with_sc(SceneFlags(
+            sc_prev=sc, sc_next=sc.copy(),
+            luma=np.full(6, 0.5, np.float32),
+            ratio=np.zeros(6, np.float32),
+        ))
+        files = havc_tpu.HAVC_export_reference_frames(
+            flagged, str(tmp_path), ref_offset=10, ref_ext="png")
+        names = sorted(f.split("/")[-1] for f in files)
+        assert names == ["ref_000010.png", "ref_000013.png"]
+        # override=False skips existing
+        files2 = havc_tpu.HAVC_export_reference_frames(
+            flagged, str(tmp_path), ref_offset=10, ref_ext="png",
+            ref_override=False)
+        assert files2 == []
+
+    def test_export_list_step(self, bw_clip, tmp_path):
+        # single-element ref_list = every-N export (__init__.py:3395)
+        files = havc_tpu.HAVC_export_list_frames(
+            bw_clip, str(tmp_path), ref_list=[2])
+        names = sorted(f.split("/")[-1] for f in files)
+        assert names == [f"ref_{n:06d}.jpg" for n in (0, 2, 4)]
+
+    def test_overlay_planes(self, bw_clip, rng):
+        over = from_frames(rng.random((6, 64, 80, 3), dtype=np.float32))
+        out = havc_tpu.HAVC_clip_overlay(bw_clip, over, planes=0,
+                                         batch_size=4)
+        f = np.asarray(out.frames)
+        base = np.asarray(bw_clip.frames)
+        ov = np.asarray(over.frames)
+        np.testing.assert_allclose(f[..., 1], base[..., 1], atol=1e-5)
+        np.testing.assert_allclose(f[..., 0], ov[..., 0], atol=1e-5)
+
+    def test_legacy_full_signatures(self, bw_clip):
+        import warnings
+
+        with warnings.catch_warnings(record=True):
+            warnings.simplefilter("always")
+            out = havc_tpu.ddeoldify_main(
+                bw_clip, Preset="veryfast", VideoTune="Stable",
+                ColorFix="Violet/Red", ColorTune="Light", ColorMap="None",
+                degrain_strength=0, enable_fp16=True, batch_size=4,
+            )
+        assert out.num_frames == bw_clip.num_frames
 
 
 class TestColorTuneEdges:

@@ -114,7 +114,7 @@ class TestXvidDetect:
         b = rng.random((4, 64, 64, 3)).astype(np.float32)
         clip = Clip(np.concatenate([a, b]))
         files = havc_tpu.HAVC_extract_reference_frames(
-            clip, str(tmp_path), sc_algo=2
+            clip, sc_framedir=str(tmp_path), sc_algo=2
         )
         names = sorted(f.split("/")[-1] for f in files)
         assert names[0] == "ref_000000.jpg"
