@@ -8,6 +8,7 @@ a vs-deoldify user can port scripts directly.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import numpy as np
@@ -2055,12 +2056,43 @@ def HAVC_SceneDetectEdges(
     return clip.with_sc(flags)
 
 
-def HAVC_read_video(path: str, fpsnum: int = 0, fpsden: int = 1, **kwargs) -> Clip:
-    """Video reader entry (havc_utils.HAVC_read_video:249-322)."""
+def HAVC_read_video(
+    source: str = None,
+    fpsnum: int = 0,
+    fpsden: int = 1,
+    width: int = 0,
+    height: int = 0,
+    return_rgb: bool = True,
+    path: Optional[str] = None,
+    **kwargs,
+) -> Clip:
+    """Video reader entry (havc_utils.HAVC_read_video:249-322): decode to
+    full-range RGB float frames; ``width``/``height`` > 0 resize with
+    Spline36 (either alone keeps the other dimension); ``fpsnum/fpsden``
+    forces the frame rate.  ``return_rgb=False`` (the reference's
+    limited-range YUV output mode) is accepted but this eager pipeline
+    always yields RGB — the limited/full bracket is applied at the
+    restore_format boundary instead.  ``path`` is a deprecated alias of
+    ``source``."""
     from .io import read_video
+    from .ops.resize import resize as _resize
 
+    if source is None:
+        source = path
+    if source is None:
+        raise ValueError("HAVC_read_video: source is required")
+    if not os.path.isfile(source):
+        raise IOError(f"HAVC: invalid clip -> {source}")
+    del return_rgb
     fps_force = fpsnum / fpsden if fpsnum > 0 else None
-    return read_video(path, fps_force=fps_force, **kwargs)
+    clip = read_video(source, fps_force=fps_force, **kwargs)
+    w = width if width > 0 else (clip.width if height > 0 else 0)
+    h = height if height > 0 else (clip.height if width > 0 else 0)
+    if w > 0 and h > 0 and (w != clip.width or h != clip.height):
+        clip = _batched(
+            clip, lambda x: jnp.clip(_resize(x, h, w, "spline36"), 0.0, 1.0)
+        )
+    return clip
 
 
 def HAVC_export_list_frames(

@@ -1,3 +1,9 @@
 """Utility helpers: jit caching, logging, profiling."""
 
 from .jitcache import cached_jit, clear_jit_cache  # noqa: F401
+from .log import (  # noqa: F401
+    HAVC_LogMessage,
+    HAVCError,
+    MessageType,
+    get_logger,
+)

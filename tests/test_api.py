@@ -244,6 +244,31 @@ class TestGlobalSetters:
 class TestUtilitySurface:
     """Round-3 M3: reference-faithful utility signatures + semantics."""
 
+    def test_read_video_resize_and_alias(self, tmp_path, rng):
+        """HAVC_read_video (havc_utils.py:249-322): width-only resize keeps
+        the source height; missing files raise."""
+        from havc_tpu.io import write_video
+        from havc_tpu.clip import from_frames
+
+        src = from_frames(rng.random((4, 48, 64, 3), dtype=np.float32))
+        p = str(tmp_path / "t.mp4")
+        write_video(src, p)
+        c = havc_tpu.HAVC_read_video(p, width=32)
+        assert c.width == 32 and c.height == 48
+        c2 = havc_tpu.HAVC_read_video(p, width=32, height=24)
+        assert c2.width == 32 and c2.height == 24
+        import pytest as _pytest
+
+        with _pytest.raises(IOError):
+            havc_tpu.HAVC_read_video(str(tmp_path / "missing.mp4"))
+
+    def test_log_message(self):
+        havc_tpu.HAVC_LogMessage(havc_tpu.MessageType.INFORMATION, "x", 1)
+        import pytest as _pytest
+
+        with _pytest.raises(havc_tpu.HAVCError, match="boom"):
+            havc_tpu.HAVC_LogMessage(havc_tpu.MessageType.EXCEPTION, "boom")
+
     def test_auto_levels_no_warm_cast(self, bw_clip):
         """vs_auto_levels (havc_utils.py:785-838) has NO rgb_balance step:
         a neutral gray input must stay neutral (bw_tune would warm it)."""
