@@ -799,7 +799,9 @@ def HAVC_SceneDetect(
     sc_tht_black: float = 0.10,
     sc_debug: bool = False,
 ) -> Clip:
-    """Scene detection front-end (HAVC_SceneDetect, __init__.py:3191)."""
+    """Scene detection front-end (HAVC_SceneDetect, __init__.py:3191).
+    ``sc_debug=True`` logs every New/Skip decision with its
+    SSIM/hist/luma/reason scores like the reference (vsscdect.py:406-479)."""
     flags = scene_detect(
         np.asarray(clip.frames),
         threshold=sc_threshold,
@@ -810,9 +812,8 @@ def HAVC_SceneDetect(
         tht_black=sc_tht_black,
         tht_offset=sc_tht_offset,
         normalize=sc_normalize,
+        debug=sc_debug,
     )
-    if sc_debug:
-        print("HAVC-SC:", list(np.nonzero(flags.sc_prev)[0]))
     return clip.with_sc(flags)
 
 
@@ -1438,62 +1439,78 @@ def HAVC_main_presets(
     DeFlicker = (EnableDeepEx or ColorTemp.lower() != "none"
                  or EnableRetinex or BWTuneRetinex or deflicker)
 
+    from .utils.profiling import stage_timer
+
     work = clip
     if BWTuneRetinex:
-        work = HAVC_bw_tune(work, BlackWhiteTune, bw_method=5,
-                            luma_blend=BlackWhiteBlend, batch_size=batch_size)
+        with stage_timer("bw_pre_tune"):
+            work = HAVC_bw_tune(work, BlackWhiteTune, bw_method=5,
+                                luma_blend=BlackWhiteBlend,
+                                batch_size=batch_size)
         BlackWhiteTune, BlackWhiteMode, BlackWhiteBlend = "light", 0, True
 
-    clip_colored = HAVC_main_colorizer(
-        work, Preset, ColorModel, CombMethod, VideoTune, ColorFix,
-        ColorTemp, ColorTune, ColorMap, EnableDeepEx, DeepExMethod,
-        DeepExPreset, DeepExRefMerge, DeepExOnlyRefFrames, ScFrameDir,
-        ScThreshold, ScThtOffset, ScMinFreq, ScMinInt, ScThtSSIM,
-        ScNormalize, DeepExModel, DeepExVivid, DeepExEncMode,
-        DeepExMaxMemFrames, FrameInterp, RefRange, enable_fp16,
-        debug_level, engine_config, batch_size,
-    )
+    with stage_timer("colorizer"):
+        clip_colored = HAVC_main_colorizer(
+            work, Preset, ColorModel, CombMethod, VideoTune, ColorFix,
+            ColorTemp, ColorTune, ColorMap, EnableDeepEx, DeepExMethod,
+            DeepExPreset, DeepExRefMerge, DeepExOnlyRefFrames, ScFrameDir,
+            ScThreshold, ScThtOffset, ScMinFreq, ScMinInt, ScThtSSIM,
+            ScNormalize, DeepExModel, DeepExVivid, DeepExEncMode,
+            DeepExMaxMemFrames, FrameInterp, RefRange, enable_fp16,
+            debug_level, engine_config, batch_size,
+        )
 
     if BWTuneRetinex:
-        clip_colored = HAVC_tweak(clip_colored, hue=5.0, sat=0.95, bright=0,
-                                  cont=0.98, gamma=0.98, batch_size=batch_size)
+        with stage_timer("retinex_tweak"):
+            clip_colored = HAVC_tweak(clip_colored, hue=5.0, sat=0.95,
+                                      bright=0, cont=0.98, gamma=0.98,
+                                      batch_size=batch_size)
 
     if BlackWhiteTune.lower() != "none":
-        clip_colored = HAVC_bw_tune(clip_colored, BlackWhiteTune,
-                                    BlackWhiteMode, BlackWhiteBlend,
-                                    batch_size=batch_size)
+        with stage_timer("bw_post_tune"):
+            clip_colored = HAVC_bw_tune(clip_colored, BlackWhiteTune,
+                                        BlackWhiteMode, BlackWhiteBlend,
+                                        batch_size=batch_size)
 
     clip_final = clip_colored
     if EnableRetinex:
         tune = ColorTune.lower()
-        if tune == "light":
-            clip_final = HAVC_TimeCube(clip_colored, 0.8, lut3d.LUT_NAMES.index("exploration"), batch_size=batch_size)
-        elif tune == "medium":
-            clip_final = HAVC_TimeCube(clip_colored, 0.6, lut3d.LUT_NAMES.index("city_skyline"), batch_size=batch_size)
-        elif tune == "strong":
-            if ColorMap.lower() == "red->brown":
-                clip_final = HAVC_TimeCube(clip_colored, 0.4, lut3d.LUT_NAMES.index("amber_light"), batch_size=batch_size)
-            else:
-                clip_final = HAVC_TimeCube(clip_colored, 0.6, lut3d.LUT_NAMES.index("fuj_film"), batch_size=batch_size)
+        with stage_timer("retinex_lut"):
+            if tune == "light":
+                clip_final = HAVC_TimeCube(clip_colored, 0.8, lut3d.LUT_NAMES.index("exploration"), batch_size=batch_size)
+            elif tune == "medium":
+                clip_final = HAVC_TimeCube(clip_colored, 0.6, lut3d.LUT_NAMES.index("city_skyline"), batch_size=batch_size)
+            elif tune == "strong":
+                if ColorMap.lower() == "red->brown":
+                    clip_final = HAVC_TimeCube(clip_colored, 0.4, lut3d.LUT_NAMES.index("amber_light"), batch_size=batch_size)
+                else:
+                    clip_final = HAVC_TimeCube(clip_colored, 0.6, lut3d.LUT_NAMES.index("fuj_film"), batch_size=batch_size)
 
     if lut is not None:
-        clip_final = HAVC_TimeCube(clip_final, lut_effect=lut,
-                                   batch_size=batch_size)
+        with stage_timer("lut_effect"):
+            clip_final = HAVC_TimeCube(clip_final, lut_effect=lut,
+                                       batch_size=batch_size)
 
     if DeFlicker:
-        sc = clip_final.sc.sc_prev if clip_final.sc is not None else None
-        fn = cached_jit(
-            ("deflicker",),
-            lambda: lambda f, s: temporal_ops.reduce_flicker(f, scenechange=s),
-        )
-        scv = jnp.asarray(
-            (sc if sc is not None
-             else np.zeros(len(clip_final), np.int8)).astype(np.int32)
-        )
-        out = fn(jnp.asarray(clip_final.frames), scv)
-        clip_final = clip_final.with_frames(
-            out if clip_final.on_device else np.asarray(out)
-        )
+        with stage_timer("deflicker"):
+            sc = clip_final.sc.sc_prev if clip_final.sc is not None else None
+            fn = cached_jit(
+                ("deflicker",),
+                lambda: lambda f, s: temporal_ops.reduce_flicker(f, scenechange=s),
+            )
+            scv = jnp.asarray(
+                (sc if sc is not None
+                 else np.zeros(len(clip_final), np.int8)).astype(np.int32)
+            )
+            out = fn(jnp.asarray(clip_final.frames), scv)
+            clip_final = clip_final.with_frames(
+                out if clip_final.on_device else np.asarray(out)
+            )
+    # residual asynchronously-dispatched device work is charged here, so
+    # the per-stage rows above stay dispatch-side and this row closes the
+    # books (device_sync ~ 0 on host-resident clips)
+    with stage_timer("device_sync", sync=clip_final.frames):
+        pass
     return clip_final
 
 

@@ -217,12 +217,25 @@ class SceneDetector:
     tht_offset: int = 1
     normalize: bool = False
     adaptive_ratio: float = field(default=0.0)
+    debug: bool = False
 
     def __post_init__(self):
         if self.adaptive_ratio == 0.0:
             self.adaptive_ratio = (
                 DEF_ADAPTIVE_RATIO_MED if self.frequency > 0 else DEF_ADAPTIVE_RATIO_LO
             )
+        # per-frame decision records (reference sc_debug prints,
+        # vsscdect.py:406-479): dicts with frame/prev/ssim/hist/luma/reason
+        self.debug_records: list = []
+
+    def _record(self, state, n, prev, ssim, hist, luma, reason):
+        if self.debug:
+            self.debug_records.append({
+                "state": state, "frame": int(n),
+                "prev": -1 if prev is None else int(prev),
+                "ssim": ssim, "hist": hist,
+                "luma": round(float(luma), 4), "reason": int(reason),
+            })
 
     # -- first pass: adaptive-ratio custom detector (vsscdect.py:281-342) --
     def _custom_pass(self, lumas, diffs, min_length) -> tuple:
@@ -293,6 +306,7 @@ class SceneDetector:
             is_sc = sc[n] == 1 or n == 0
             if is_sc and last_index is None:
                 out[n] = 1
+                self._record("New", n, last_index, -1, -1, luma_n, 1)
                 last_index = n
                 prev_y = grays[n]
                 prev_hist = hists[n]
@@ -303,10 +317,13 @@ class SceneDetector:
             sc_reason = 0
             if n > 0 and (n - last_index) < min_length:
                 if min_length > 1 and n > 1 and prev_luma >= DEF_THT_BLACK_MIN > luma_n:
+                    self._record("Skip", n, last_index, -1, -1, luma_n, -1)
                     continue
                 sc_reason = 4
+            ssim_score = hist_score = 1
             if tht_ssim == 1:
                 scene_change = self.tht_black < luma_n < self.tht_white
+                sc_reason = (sc_reason + 1) if scene_change else 0
             else:
                 ssim_score = round(_ssim_uniform(grays[n], prev_y), 4)
                 hist_score = round(1.0 - _hellinger(prev_hist, hists[n]), 4)
@@ -317,24 +334,33 @@ class SceneDetector:
                             luma_n < DEF_THT_BLACK_FREQ
                             and ratios[n] < DEF_ADAPTIVE_RATIO_RF
                         )
+                    sc_reason = (sc_reason + 1) if scene_change else 0
                 elif (
                     ssim_score >= DEF_SSIM_SCORE_EQUAL
                     and prev_luma < DEF_THT_BLACK_MIN <= luma_n
                 ):
                     scene_change = self.tht_black < luma_n < self.tht_white
+                    sc_reason = (sc_reason + 2) if scene_change else 0
                 elif (
                     ssim_score >= DEF_SSIM_SCORE_EQUAL
                     and hist_score < DEF_HIST_SCORE_EQUAL
                 ):
                     scene_change = DEF_THT_BLACK_MIN < luma_n < DEF_THT_WHITE_MIN
+                    sc_reason = (sc_reason + 3) if scene_change else 0
                 else:
                     scene_change = False
+                    sc_reason = 0
             if scene_change:
                 out[n] = 1
+                self._record("New", n, last_index, ssim_score, hist_score,
+                             luma_n, sc_reason)
                 last_index = n
                 prev_y = grays[n]
                 prev_hist = hists[n]
                 prev_luma = luma_n
+            else:
+                self._record("Skip", n, last_index, ssim_score, hist_score,
+                             luma_n, sc_reason)
         return out
 
     def detect(self, frames: np.ndarray) -> SceneFlags:
@@ -384,8 +410,11 @@ def scene_detect(
     tht_black: float = DEF_THT_BLACK,
     tht_offset: int = 1,
     normalize: bool = False,
+    debug: bool = False,
 ) -> SceneFlags:
-    """Functional front-end mirroring vsscdect.SceneDetect's signature."""
+    """Functional front-end mirroring vsscdect.SceneDetect's signature.
+    ``debug=True`` logs each New/Skip decision with SSIM/hist/luma/reason
+    like the reference's sc_debug prints (vsscdect.py:406-479)."""
     det = SceneDetector(
         threshold=threshold,
         frequency=frequency,
@@ -395,5 +424,18 @@ def scene_detect(
         tht_black=tht_black,
         tht_offset=tht_offset,
         normalize=normalize,
+        debug=debug,
     )
-    return det.detect(frames)
+    flags = det.detect(frames)
+    if debug:
+        from ..utils.log import HAVC_LogMessage, MessageType
+
+        for r in det.debug_records:
+            HAVC_LogMessage(
+                MessageType.WARNING,
+                f"SC=[{r['state']}], Frame_n= ", r["frame"],
+                ", PrvFrame= ", r["prev"], ", SSIM= ", r["ssim"],
+                ", Hist= ", r["hist"], ", Luma= ", r["luma"],
+                ", ScReason= ", r["reason"],
+            )
+    return flags

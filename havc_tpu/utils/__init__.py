@@ -7,3 +7,11 @@ from .log import (  # noqa: F401
     MessageType,
     get_logger,
 )
+from .profiling import (  # noqa: F401
+    device_trace,
+    enable_profiling,
+    reset_stages,
+    stage_report,
+    stage_timer,
+    stage_times,
+)
