@@ -45,6 +45,7 @@ __all__ = [
     "HAVC_restore_video",
     "HAVC_DeepRemaster",
     "colormnet_propagate",
+    "colormnet_propagate_scenes",
     "deepex_propagate",
     "remaster_propagate",
     "smart_resize_shape",
@@ -263,75 +264,18 @@ def _lab_l3(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat((l - 50.0) / 50.0, 3, axis=-1)
 
 
-def colormnet_propagate(
-    engine: ColorMNetEngine,
-    frames: np.ndarray,  # (T, H, W, 3) RGB [0,1]; (H, W) <= engine size
-    ref_ab: np.ndarray,  # (T, H, W, 2) normalized ab in [-1,1] (refs only)
-    is_ref: np.ndarray,  # (T,) bool: reference (scene-change) frames
-    ref_frames: Optional[np.ndarray] = None,  # (T, H, W, 3) reference RGB
-    frame_propagate: bool = True,  # refs ARE video frames (method "same as video")
-    vivid: bool = False,  # reset the whole memory at every reference update
-    resume_state=None,  # carry from a previous chunk (chunked/streaming)
-    return_state: bool = False,
-):
-    """Scan the clip through the memory network; returns (T, H, W, 2)
-    normalized ab predictions.
-
-    Faithful re-expression of InferenceCore (inference_core.py:9-231) as a
-    fixed-shape ``lax.scan``, with deep_update_every = -1 (sync mode, the
-    driver default, colormnet_render.py:125) and enable_long_term = True:
-
-    * ``frame_propagate=True`` == ``processor.step`` (reference frames are
-      colorized versions of the video frames themselves): on ref frames the
-      output IS the reference ab and the current frame's key/value (with
-      ref ab) is inserted; ``need_segment`` is t > 0, so mid-clip ref
-      frames still run readout + decode (their usage side effects count)
-      with the result discarded (inference_core.py:54-97).
-    * ``frame_propagate=False`` == ``step_AnyExemplar`` with
-      flag_FirstframeIsExemplar=False: on ref frames the exemplar image's
-      OWN key/value is encoded and inserted first (inference_core.py:
-      151-183, deep update forced off), then the current frame is decoded
-      against it (short-term attention skipped, :193-197) — the output on
-      ref frames is the *prediction* — and the current frame's key/value
-      (with predicted ab) is ALSO inserted (:215-228).
-    * short-term local attention reads the last MEMORY frame's key/value
-      (last_ti_key/value, updated on every memory insert).
-    * memory cadence: ``is_mem = ref or (t - last_mem_t >= mem_every)``;
-      in sync mode every working-memory frame is a deep update (value-
-      encoder GRU reinforces the hidden, the decoder GRU output of that
-      step is discarded: segment runs h_out=False) EXCEPT exemplar-insert
-      steps, where is_deep_update is forced False and the decoder GRU
-      output is kept.
-    * the hidden state is created once and NEVER reset on later references
-      (memory_manager.create_hidden_state:195-206 is a no-op when the
-      hidden exists).
-    * ``vivid`` rebuilds the whole InferenceCore at each new reference
-      (colormnet_render.py:204-221 reset_on_ref_update): memory, hidden,
-      frame counters and last-memory state all reset, and the
-      exemplar-insert branch is used from then on.
-
-    Performance structure: the KEY ENCODER (resnet50 + DINOv2 — the bulk of
-    the FLOPs) has no sequential dependence, so it runs BATCHED over frames
-    outside the scan (full MXU utilization); only the carry-dependent work
-    (memory readout, short-term attention, decoder, value encoder) stays in
-    the per-frame scan.
-
-    Geometry: frames smaller than the engine's work size are zero-padded
-    with symmetric borders IN NORMALIZED-LAB SPACE — exactly the
-    reference's ``pad_divide_by(112)`` (inference_core.py:51,125), which
-    F.pads the ``im_transform``-ed tensor, so the border is L*=50 neutral
-    gray, not black — and the ab prediction is unpadded back
-    (``unpad``, tensor_util.py:34-43).  Size the engine with
-    ``pad112_geometry`` so the DINOv2 1/14 and ResNet 1/16 grids align.
-    """
+def _build_cm_step(engine: ColorMNetEngine, vivid: bool,
+                   frame_propagate: bool):
+    """Per-frame InferenceCore step as a pure function
+    ``step(params, carry, inputs) -> (carry, ab)`` (factored out of
+    :func:`colormnet_propagate` so scene-parallel propagation can vmap the
+    same scan over a batch of independent scenes)."""
     from ..models import memory as mem
 
     cfg = engine.mem_cfg
     h16, w16 = engine.g16_hw
     P = h16 * w16
     exemplar_insert = (not frame_propagate) or vivid
-    if ref_frames is None:
-        ref_frames = frames
 
     def step(params, carry, inputs):
         p_key, p_proj, p_value, p_dec, p_attn = params
@@ -457,29 +401,30 @@ def colormnet_propagate(
                      frame_idx + 1, last_mem_t)
         return new_carry, ab_out.transpose(1, 2, 0)
 
-    dtype = getattr(engine, "dtype", jnp.asarray(frames).dtype)
-    if resume_state is not None:
-        carry0 = resume_state
-    else:
-        state0 = mem.init_memory(cfg, dtype=dtype)
-        hidden0 = jnp.zeros((2, h16, w16, engine.hidden_dim), dtype)
-        key0 = jnp.zeros((1, h16, w16, engine.key_dim), dtype)
-        value0 = jnp.zeros((2, h16, w16, engine.value_dim), dtype)
-        carry0 = (state0, hidden0, key0, value0, jnp.zeros((), jnp.int32),
-                  jnp.zeros((), jnp.int32))
+    return step
 
-    # Params travel as explicit jit ARGUMENTS: closure-captured arrays are
-    # serialized into the program payload, which blows past the axon remote
-    # compiler's HTTP body limit at full geometry (HTTP 413).
-    scan_fn = cached_jit(
-        ("colormnet_scan", engine.cfg_name, engine.h, engine.w, vivid,
-         frame_propagate, str(dtype)),
-        lambda: lambda params, init, xs: jax.lax.scan(
-            lambda c, x: step(params, c, x), init, xs
-        ),
-    )
-    params = (engine.p_key, engine.p_proj, engine.p_value, engine.p_dec,
-              engine.p_attn)
+
+def _cm_init_carry(engine: ColorMNetEngine, dtype):
+    """Fresh InferenceCore carry (empty memory, zero hidden/short-term)."""
+    from ..models import memory as mem
+
+    h16, w16 = engine.g16_hw
+    state0 = mem.init_memory(engine.mem_cfg, dtype=dtype)
+    hidden0 = jnp.zeros((2, h16, w16, engine.hidden_dim), dtype)
+    key0 = jnp.zeros((1, h16, w16, engine.key_dim), dtype)
+    value0 = jnp.zeros((2, h16, w16, engine.value_dim), dtype)
+    return (state0, hidden0, key0, value0, jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+
+
+def _cm_prepare(engine: ColorMNetEngine, frames, ref_ab, ref_frames,
+                exemplar_insert: bool, dtype):
+    """Whole-clip pad112 + batched key-encoder precompute.
+
+    Returns ``(xs_core, (lh, lw, fh, fw))`` where ``xs_core`` is the scan
+    input tuple minus the is_ref flags: (frames_l3, g16, g8, g4, key,
+    shrink, sel, ref_pre, ref_ab_padded), every leaf with leading T.
+    """
     fh, fw = int(frames.shape[1]), int(frames.shape[2])
     if fh > engine.h or fw > engine.w:
         raise ValueError(
@@ -534,15 +479,106 @@ def colormnet_propagate(
     else:
         ref_pre = jnp.zeros((frames_l3.shape[0],), dtype)  # unused placeholder
 
-    final_carry, ab_seq = scan_fn(
-        params,
-        carry0,
-        (
-            frames_l3, g16s, g8s, g4s, keys, shrinks, sels,
-            ref_pre,
-            _pad112(jnp.asarray(ref_ab, dtype)),
-            jnp.asarray(is_ref.astype(bool)),
+    xs_core = (frames_l3, g16s, g8s, g4s, keys, shrinks, sels, ref_pre,
+               _pad112(jnp.asarray(ref_ab, dtype)))
+    return xs_core, (lh, lw, fh, fw)
+
+
+def colormnet_propagate(
+    engine: ColorMNetEngine,
+    frames: np.ndarray,  # (T, H, W, 3) RGB [0,1]; (H, W) <= engine size
+    ref_ab: np.ndarray,  # (T, H, W, 2) normalized ab in [-1,1] (refs only)
+    is_ref: np.ndarray,  # (T,) bool: reference (scene-change) frames
+    ref_frames: Optional[np.ndarray] = None,  # (T, H, W, 3) reference RGB
+    frame_propagate: bool = True,  # refs ARE video frames (method "same as video")
+    vivid: bool = False,  # reset the whole memory at every reference update
+    resume_state=None,  # carry from a previous chunk (chunked/streaming)
+    return_state: bool = False,
+):
+    """Scan the clip through the memory network; returns (T, H, W, 2)
+    normalized ab predictions.
+
+    Faithful re-expression of InferenceCore (inference_core.py:9-231) as a
+    fixed-shape ``lax.scan``, with deep_update_every = -1 (sync mode, the
+    driver default, colormnet_render.py:125) and enable_long_term = True:
+
+    * ``frame_propagate=True`` == ``processor.step`` (reference frames are
+      colorized versions of the video frames themselves): on ref frames the
+      output IS the reference ab and the current frame's key/value (with
+      ref ab) is inserted; ``need_segment`` is t > 0, so mid-clip ref
+      frames still run readout + decode (their usage side effects count)
+      with the result discarded (inference_core.py:54-97).
+    * ``frame_propagate=False`` == ``step_AnyExemplar`` with
+      flag_FirstframeIsExemplar=False: on ref frames the exemplar image's
+      OWN key/value is encoded and inserted first (inference_core.py:
+      151-183, deep update forced off), then the current frame is decoded
+      against it (short-term attention skipped, :193-197) — the output on
+      ref frames is the *prediction* — and the current frame's key/value
+      (with predicted ab) is ALSO inserted (:215-228).
+    * short-term local attention reads the last MEMORY frame's key/value
+      (last_ti_key/value, updated on every memory insert).
+    * memory cadence: ``is_mem = ref or (t - last_mem_t >= mem_every)``;
+      in sync mode every working-memory frame is a deep update (value-
+      encoder GRU reinforces the hidden, the decoder GRU output of that
+      step is discarded: segment runs h_out=False) EXCEPT exemplar-insert
+      steps, where is_deep_update is forced False and the decoder GRU
+      output is kept.
+    * the hidden state is created once and NEVER reset on later references
+      (memory_manager.create_hidden_state:195-206 is a no-op when the
+      hidden exists).
+    * ``vivid`` rebuilds the whole InferenceCore at each new reference
+      (colormnet_render.py:204-221 reset_on_ref_update): memory, hidden,
+      frame counters and last-memory state all reset, and the
+      exemplar-insert branch is used from then on.
+
+    Performance structure: the KEY ENCODER (resnet50 + DINOv2 — the bulk of
+    the FLOPs) has no sequential dependence, so it runs BATCHED over frames
+    outside the scan (full MXU utilization); only the carry-dependent work
+    (memory readout, short-term attention, decoder, value encoder) stays in
+    the per-frame scan.
+
+    Geometry: frames smaller than the engine's work size are zero-padded
+    with symmetric borders IN NORMALIZED-LAB SPACE — exactly the
+    reference's ``pad_divide_by(112)`` (inference_core.py:51,125), which
+    F.pads the ``im_transform``-ed tensor, so the border is L*=50 neutral
+    gray, not black — and the ab prediction is unpadded back
+    (``unpad``, tensor_util.py:34-43).  Size the engine with
+    ``pad112_geometry`` so the DINOv2 1/14 and ResNet 1/16 grids align.
+    """
+    from ..models import memory as mem
+
+    cfg = engine.mem_cfg
+    h16, w16 = engine.g16_hw
+    exemplar_insert = (not frame_propagate) or vivid
+    if ref_frames is None:
+        ref_frames = frames
+
+    step = _build_cm_step(engine, vivid, frame_propagate)
+
+    dtype = getattr(engine, "dtype", jnp.asarray(frames).dtype)
+    if resume_state is not None:
+        carry0 = resume_state
+    else:
+        carry0 = _cm_init_carry(engine, dtype)
+
+    # Params travel as explicit jit ARGUMENTS: closure-captured arrays are
+    # serialized into the program payload, which blows past the axon remote
+    # compiler's HTTP body limit at full geometry (HTTP 413).
+    scan_fn = cached_jit(
+        ("colormnet_scan", engine.cfg_name, engine.h, engine.w, vivid,
+         frame_propagate, str(dtype)),
+        lambda: lambda params, init, xs: jax.lax.scan(
+            lambda c, x: step(params, c, x), init, xs
         ),
+    )
+    params = (engine.p_key, engine.p_proj, engine.p_value, engine.p_dec,
+              engine.p_attn)
+    xs_core, (lh, lw, fh, fw) = _cm_prepare(
+        engine, frames, ref_ab, ref_frames, exemplar_insert, dtype
+    )
+    final_carry, ab_seq = scan_fn(
+        params, carry0,
+        (*xs_core, jnp.asarray(is_ref.astype(bool))),
     )
     out = np.asarray(ab_seq, np.float32)[:, lh : lh + fh, lw : lw + fw]
     if return_state:
@@ -551,6 +587,143 @@ def colormnet_propagate(
         # reference lacks (SURVEY 5: "no mid-video resume"; its de-facto
         # restartable intermediate is the ref-frame export).
         return out, final_carry
+    return out
+
+
+def colormnet_propagate_scenes(
+    engine: ColorMNetEngine,
+    frames: np.ndarray,   # (T, H, W, 3) RGB [0,1]
+    ref_ab: np.ndarray,   # (T, H, W, 2) normalized ab (refs only)
+    is_ref: np.ndarray,   # (T,) bool; is_ref[0] must be True
+    ref_frames: Optional[np.ndarray] = None,
+    frame_propagate: bool = True,
+    mesh=None,            # jax.sharding.Mesh with a 'data' axis: shard scenes
+):
+    """Scene-PARALLEL vivid-mode propagation: the TPU-native scale-out of
+    the exemplar engine.
+
+    In vivid mode the reference rebuilds the whole InferenceCore at every
+    new reference (reset_on_ref_update, colormnet_render.py:204-221), so
+    each reference starts a fully independent scene.  That independence is
+    exploited here the TPU way: the sequential T-step ``lax.scan`` becomes
+    an S-scene *batched* scan of max-scene-length steps — ``vmap`` over the
+    scene axis (bigger matmuls per step, better MXU utilization even on one
+    chip) and, when ``mesh`` is given, the scene axis is sharded over the
+    mesh's ``data`` axis with replicated params, so S scenes colorize
+    concurrently across chips with zero inter-chip communication during the
+    scan (ICI traffic only at the gather of results).
+
+    Semantically identical to ``colormnet_propagate(..., vivid=True)``
+    (scene i sees exactly: reset -> exemplar insert of its ref -> scan);
+    equality is pinned by tests/test_exemplar_scenes.py.
+
+    Scenes are right-padded to the longest scene by repeating their last
+    frame; padded steps compute on the repeat frames and their outputs are
+    discarded (memory rings are per-scene, so pads never pollute another
+    scene's state).
+    """
+    is_ref = np.asarray(is_ref).astype(bool)
+    T = int(frames.shape[0])
+    if T == 0:
+        return np.zeros_like(np.asarray(ref_ab, np.float32))
+    if not is_ref[0]:
+        raise ValueError(
+            "colormnet_propagate_scenes: is_ref[0] must be True (every "
+            "scene starts at a reference; the reference driver forces the "
+            "first frame to be a ref as well)"
+        )
+    if ref_frames is None:
+        ref_frames = frames
+    dtype = getattr(engine, "dtype", jnp.asarray(frames).dtype)
+
+    starts = list(np.nonzero(is_ref)[0])
+    bounds = starts + [T]
+    lengths = [bounds[i + 1] - bounds[i] for i in range(len(starts))]
+    S, L = len(starts), max(lengths)
+
+    # pad the scene count so the mesh shards evenly
+    n_data = 1
+    if mesh is not None:
+        n_data = int(mesh.shape.get("data", 1))
+    S_pad = -(-S // n_data) * n_data
+
+    # gather index map (S_pad, L) -> flat frame index, repeating each
+    # scene's last frame on the right and scene 0 for padding scenes
+    idx = np.zeros((S_pad, L), np.int64)
+    for si in range(S_pad):
+        s0 = starts[si] if si < S else starts[0]
+        ln = lengths[si] if si < S else lengths[0]
+        row = np.arange(L)
+        row = np.minimum(row, ln - 1) + s0
+        idx[si] = row
+    flat_idx = jnp.asarray(idx.reshape(-1))
+
+    # whole-clip prep + batched encode (identical to the sequential path)
+    xs_core, (lh, lw, fh, fw) = _cm_prepare(
+        engine, frames, ref_ab, ref_frames, True, dtype
+    )
+    xs = (*xs_core, jnp.asarray(is_ref))
+
+    to_scenes = cached_jit(
+        ("cm_scene_split", S_pad, L, engine.h, engine.w, str(dtype)),
+        lambda: lambda tree, fi: jax.tree.map(
+            lambda a: jnp.take(a, fi, axis=0).reshape(
+                (S_pad, L) + a.shape[1:]
+            ),
+            tree,
+        ),
+    )
+    xs_s = to_scenes(xs, flat_idx)
+
+    carry0 = _cm_init_carry(engine, dtype)
+    carry0_s = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (S_pad,) + a.shape), carry0
+    )
+
+    step = _build_cm_step(engine, vivid=True, frame_propagate=frame_propagate)
+
+    def scan_scenes(params, init, xs_batched):
+        def one(i, x):
+            return jax.lax.scan(lambda c, y: step(params, c, y), i, x)
+
+        return jax.vmap(one)(init, xs_batched)
+
+    if mesh is None:
+        scan_vm = cached_jit(
+            ("colormnet_scan_scenes", engine.cfg_name, engine.h, engine.w,
+             frame_propagate, str(dtype), S_pad, L),
+            lambda: scan_scenes,
+        )
+        _, ab_s = scan_vm(
+            (engine.p_key, engine.p_proj, engine.p_value, engine.p_dec,
+             engine.p_attn),
+            carry0_s, xs_s,
+        )
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        scene_sh = NamedSharding(mesh, PartitionSpec("data"))
+        repl = NamedSharding(mesh, PartitionSpec())
+        params = jax.tree.map(
+            lambda a: jax.device_put(a, repl),
+            (engine.p_key, engine.p_proj, engine.p_value, engine.p_dec,
+             engine.p_attn),
+        )
+        carry0_s = jax.tree.map(lambda a: jax.device_put(a, scene_sh), carry0_s)
+        xs_s = jax.tree.map(lambda a: jax.device_put(a, scene_sh), xs_s)
+        scan_vm = cached_jit(
+            ("colormnet_scan_scenes_mesh", engine.cfg_name, engine.h,
+             engine.w, frame_propagate, str(dtype), S_pad, L,
+             tuple(sorted(mesh.shape.items()))),
+            lambda: scan_scenes,
+        )
+        _, ab_s = scan_vm(params, carry0_s, xs_s)
+
+    # reassemble: (S_pad, L, H, W, 2) -> (T, fh, fw, 2)
+    ab_s = np.asarray(ab_s, np.float32)[:, :, lh : lh + fh, lw : lw + fw]
+    out = np.empty((T, fh, fw, 2), np.float32)
+    for si in range(S):
+        out[bounds[si] : bounds[si + 1]] = ab_s[si, : lengths[si]]
     return out
 
 
