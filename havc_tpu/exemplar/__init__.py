@@ -1114,11 +1114,17 @@ def _exemplar_dispatch(
     ref_merge: int,
     max_memory_frames: int,
     engine_config: Optional[str],
+    scene_parallel: bool = False,
+    scene_mesh=None,
 ) -> np.ndarray:
     """Shared engine dispatch: work-res prep -> propagate -> ref-merge
     blend -> colored frames at work resolution (reference HAVC_deepex
     engine match, __init__.py:1666-1727 + the vs_colormnet merge loop,
     colormnet/__init__.py:70-101).
+
+    ``scene_parallel=True`` (repo-only, TPU scale-out) routes vivid-mode
+    ColorMNet through :func:`colormnet_propagate_scenes` — scenes batched
+    on one chip or sharded over ``scene_mesh``'s data axis.
 
     Returns ``(colored_small, pad_meta)`` — caller restores full size.
     """
@@ -1159,10 +1165,22 @@ def _exemplar_dispatch(
             lambda: lambda x: jnp.clip(rgb_to_lab(x)[..., 1:3] / 110.0, -1.0, 1.0),
         )
         ref_ab = prep(work_refs)
-        ab = colormnet_propagate(
-            engine, work_frames, ref_ab, is_ref, ref_frames=work_refs,
-            frame_propagate=frame_propagate, vivid=vivid,
+        use_scenes = (
+            scene_parallel and vivid and bool(np.asarray(is_ref)[0])
+            and int(np.asarray(is_ref).sum()) > 1
         )
+        if use_scenes:
+            # vivid resets make scenes independent -> batched scan over
+            # the scene axis (optionally sharded over a mesh's data axis)
+            ab = colormnet_propagate_scenes(
+                engine, work_frames, ref_ab, is_ref, ref_frames=work_refs,
+                frame_propagate=frame_propagate, mesh=scene_mesh,
+            )
+        else:
+            ab = colormnet_propagate(
+                engine, work_frames, ref_ab, is_ref, ref_frames=work_refs,
+                frame_propagate=frame_propagate, vivid=vivid,
+            )
         join = cached_jit(
             ("cm_join", wh, ww),
             lambda: lambda frames, ab_: jnp.clip(
@@ -1263,6 +1281,8 @@ def HAVC_deepex(
     engine_config: Optional[str] = None,
     batch_size: int = 8,
     vivid: Optional[bool] = None,
+    scene_parallel: bool = False,
+    scene_mesh=None,
 ) -> Clip:
     """Exemplar-based colorization front-end (HAVC_deepex,
     __init__.py:1421-1735) — full reference parameter surface.
@@ -1303,8 +1323,12 @@ def HAVC_deepex(
 
     TPU-native extras: ``engine_config`` (None/'auto' resolves to the
     published 'full' geometry when converted weights are configured, else
-    the dev-scale 'micro'), ``batch_size``, and ``vivid`` (legacy alias
-    of render_vivid).
+    the dev-scale 'micro'), ``batch_size``, ``vivid`` (legacy alias of
+    render_vivid), and ``scene_parallel``/``scene_mesh`` — with
+    render_vivid=True (reset-on-ref makes scenes independent) the
+    ColorMNet scan runs BATCHED over scenes via
+    :func:`colormnet_propagate_scenes`, sharded across ``scene_mesh``'s
+    data axis when given (multi-chip exemplar scale-out).
     """
     if clip is None:
         raise ValueError("HAVC_deepex: clip is required")
@@ -1459,6 +1483,7 @@ def HAVC_deepex(
         clip, ref_frames, is_ref, render_speed, ex_model, frame_propagate,
         render_vivid, ref_weight, enable_refmerge, ref_merge,
         max_memory_frames, engine_config,
+        scene_parallel=scene_parallel, scene_mesh=scene_mesh,
     )
     out = _restore_full(clip, colored_small, pad_meta)
     return out.with_sc(clip_ref.sc)
