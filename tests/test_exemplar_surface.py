@@ -164,13 +164,13 @@ def test_refmerge_weight_table(stub_colormnet, monkeypatch):
 
     def spy(clip, ref_frames, is_ref, render_speed, ex_model,
             frame_propagate, render_vivid, ref_weight, merge_enabled,
-            ref_merge, max_memory_frames, engine_config):
+            ref_merge, max_memory_frames, engine_config, **kw):
         seen["ref_weight"] = ref_weight
         seen["merge_enabled"] = merge_enabled
         return real_dispatch(clip, ref_frames, is_ref, render_speed,
                              ex_model, frame_propagate, render_vivid,
                              ref_weight, merge_enabled, ref_merge,
-                             max_memory_frames, engine_config)
+                             max_memory_frames, engine_config, **kw)
 
     monkeypatch.setattr(exemplar, "_exemplar_dispatch", spy)
     clip = _clip()
