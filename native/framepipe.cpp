@@ -25,6 +25,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <functional>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -247,13 +248,35 @@ void fs_dither_u8(const float* src, uint8_t* dst, int w, int h,
     }
 }
 
-// Batched form: n independent planes (frames) of h*w.
+// Parallel-for over [0, n): spawns up to hw_concurrency-1 helper threads,
+// each striding over items.  Error diffusion is sequential WITHIN a frame
+// but frames are independent, so batch calls parallelize across frames.
+static void parallel_for_items(int n, const std::function<void(int)>& body) {
+    int nt = (int)std::thread::hardware_concurrency();
+    if (nt < 2 || n < 2) {
+        for (int i = 0; i < n; i++) body(i);
+        return;
+    }
+    if (nt > n) nt = n;
+    std::vector<std::thread> pool;
+    pool.reserve(nt - 1);
+    for (int t = 1; t < nt; t++) {
+        pool.emplace_back([=, &body]() {
+            for (int i = t; i < n; i += nt) body(i);
+        });
+    }
+    for (int i = 0; i < n; i += nt) body(i);
+    for (auto& th : pool) th.join();
+}
+
+// Batched form: n independent planes (frames) of h*w, multi-threaded
+// across frames.
 void fs_dither_u8_batch(const float* src, uint8_t* dst, int n, int w, int h,
                         float lo, float hi) {
-    for (int i = 0; i < n; i++) {
+    parallel_for_items(n, [=](int i) {
         fs_dither_u8(src + (size_t)i * w * h, dst + (size_t)i * w * h,
                      w, h, lo, hi);
-    }
+    });
 }
 
 // 16-bit-container variant for >8-bit output formats (yuv420p10/p16,
@@ -285,19 +308,20 @@ void fs_dither_u16(const float* src, uint16_t* dst, int w, int h,
 
 void fs_dither_u16_batch(const float* src, uint16_t* dst, int n, int w,
                          int h, float lo, float hi) {
-    for (int i = 0; i < n; i++) {
+    parallel_for_items(n, [=](int i) {
         fs_dither_u16(src + (size_t)i * w * h, dst + (size_t)i * w * h,
                       w, h, lo, hi);
-    }
+    });
 }
 
 // YUV420 (Y4M layout) -> interleaved RGB float [0,1], BT.601 full range —
 // matches the package's colorspace conventions (ops/colorspace.py).
-void yuv420_to_rgb_f32(const uint8_t* src, float* dst, int w, int h) {
-    const uint8_t* yp = src;
-    const uint8_t* up = src + (size_t)w * h;
-    const uint8_t* vp = up + (size_t)(w / 2) * (h / 2);
-    for (int y = 0; y < h; y++) {
+// Multi-threaded over row bands (band edges on even rows so each band owns
+// whole 4:2:0 chroma rows).
+static void yuv420_rows_to_rgb(const uint8_t* yp, const uint8_t* up,
+                               const uint8_t* vp, float* dst, int w,
+                               int y0, int y1) {
+    for (int y = y0; y < y1; y++) {
         for (int x = 0; x < w; x++) {
             float Y = yp[(size_t)y * w + x] / 255.0f;
             float U = up[(size_t)(y / 2) * (w / 2) + x / 2] / 255.0f - 0.5f;
@@ -311,6 +335,19 @@ void yuv420_to_rgb_f32(const uint8_t* src, float* dst, int w, int h) {
             o[2] = b < 0 ? 0 : (b > 1 ? 1 : b);
         }
     }
+}
+
+void yuv420_to_rgb_f32(const uint8_t* src, float* dst, int w, int h) {
+    const uint8_t* yp = src;
+    const uint8_t* up = src + (size_t)w * h;
+    const uint8_t* vp = up + (size_t)(w / 2) * (h / 2);
+    int bands = (h / 2 + 15) / 16;  // >=16 rows of work per task
+    parallel_for_items(bands, [=](int b) {
+        int y0 = b * 32;           // 32 luma rows per band (even boundary)
+        int y1 = y0 + 32;
+        if (y1 > h) y1 = h;
+        yuv420_rows_to_rgb(yp, up, vp, dst, w, y0, y1);
+    });
 }
 
 }  // extern "C"
