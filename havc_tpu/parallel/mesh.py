@@ -30,6 +30,7 @@ __all__ = [
     "replicate",
     "sharded_pipeline_step",
     "sharded_engine_step",
+    "sharded_classic_pipeline",
 ]
 
 
@@ -162,3 +163,65 @@ def sharded_engine_step(mesh: Mesh, config: str = "tiny", input_size: int = 64,
         out_shardings=(spatial, repl),
     )
     return step_fn, params
+
+
+def sharded_classic_pipeline(mesh: Mesh, do_encoder: str = "nano",
+                             dd_config: str = "tiny", rf: int = 4,
+                             input_size: int = 64):
+    """The FULL classic colorize pipeline (BASELINE config #4) under a mesh:
+
+        work resize -> DeOldify U-Net || DDColor -> ConstrainedChroma merge
+        -> fused post chain -> full-res chroma restore
+
+    — the program bench.py times on one chip, data-parallel over every
+    device (frame batch sharded on the flattened data x model axes, both
+    engines' params replicated).  Classic frames are independent, so the
+    only ICI traffic is the trailing global-luma reduction; scaling is
+    linear in chips until host decode saturates.
+
+    Returns ``(step_fn, (do_params, dd_params))``; frames (T, H, W, 3) with
+    T divisible by the mesh size.  Geometry arguments default to dev-scale
+    (dryrun/CPU-mesh friendly); production uses encoder='resnet101',
+    dd_config='large', rf=24, input_size=384 as in bench.py.
+    """
+    from ..filters import chroma_resize_restore
+    from ..models import ddcolor as dd
+    from ..models import deoldify as do
+    from ..ops import merge as merge_ops
+    from ..ops.pallas_kernels import post_chain_reference
+    from ..ops.resize import resize
+
+    dd_model = dd.DDColor.from_config(dd_config)
+    do_model = do.DeOldifyWide(encoder=do_encoder, nf_factor=1)
+    dd_params = dd.init_params(dd_model, input_size=input_size)
+    do_params = do.init_params(do_model, input_size=input_size)
+    work = rf * 16
+
+    post_kw = dict(
+        dark_thr=0.1, dark_white=0.3, dark_sat=0.3, dark_bright=-0.8,
+        sm_black=0.3, sm_white=0.7, sm_sat=0.9, sm_bright=0.0,
+        cmap_ranges=((300.0, 360.0),), cmap_hue_shift=0.0, cmap_sat=0.8,
+        cmap_weight=0.1,
+    )
+
+    batch_all = NamedSharding(mesh, P(("data", "model")))
+    repl = NamedSharding(mesh, P())
+
+    def step(do_p, dd_p, frames):
+        w = jnp.clip(resize(frames, work, work, "spline64"), 0.0, 1.0)
+        stable = do.colorize(do_p, w, do_model, render_factor=rf)
+        vivid = dd.colorize(dd_p, w, dd_model, input_size=input_size)
+        merged = merge_ops.combine_models(stable, vivid, method=3,
+                                          b_weight=0.5)
+        tuned = post_chain_reference(merged, **post_kw)
+        out = chroma_resize_restore(frames, tuned)
+        from ..ops.colorspace import luma
+
+        return out, jnp.mean(luma(out))
+
+    step_fn = jax.jit(
+        step,
+        in_shardings=(repl, repl, batch_all),
+        out_shardings=(batch_all, repl),
+    )
+    return step_fn, (do_params, dd_params)
