@@ -912,6 +912,7 @@ def remaster_propagate(
     ref_positions: Optional[np.ndarray] = None,  # (R,) frame index per ref
     ref_buffer_size: int = 20,
     future_frame_weight: float = 0.5,  # constants.py:74
+    mesh=None,  # jax.sharding.Mesh: shard the window-group batch ('data')
 ) -> np.ndarray:
     """Windowed 3D-CNN colorization (remaster_render.py:232-330): process
     ``length`` frames per forward against a SLIDING reference buffer.
@@ -954,12 +955,45 @@ def remaster_propagate(
     # windows batched per dispatch when they share a ref window; larger
     # groups keep the MXU fed on TPU (round-3 perf pass)
     GROUP = 8 if jax.default_backend() == "tpu" else 4
-    fwd = cached_jit(
-        ("remaster_fwd", H, W, length, S, GROUP, str(dtype)),
-        lambda: lambda p, l, rf, rf2: engine.model.apply(
-            p, l.astype(dtype), rf, rf2, method="colorize_with_refs"
-        ).astype(jnp.float32),
-    )
+    if mesh is not None:
+        # multi-chip: window groups are independent given a shared ref
+        # window -> shard the group axis over the mesh's data devices
+        # (params + encoded refs replicated); GROUP grows to one (or more)
+        # windows per device so every chip stays busy
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_data = int(mesh.shape.get("data", 1))
+        GROUP = max(GROUP, n_data)
+        GROUP = -(-GROUP // n_data) * n_data
+        group_sh = NamedSharding(mesh, PartitionSpec("data"))
+        repl_sh = NamedSharding(mesh, PartitionSpec())
+        fwd_base = cached_jit(
+            ("remaster_fwd_mesh", H, W, length, S, GROUP, str(dtype),
+             tuple(sorted(mesh.shape.items()))),
+            lambda: jax.jit(
+                lambda p, l, rf, rf2: engine.model.apply(
+                    p, l.astype(dtype), rf, rf2,
+                    method="colorize_with_refs"
+                ).astype(jnp.float32),
+                in_shardings=(repl_sh, group_sh, repl_sh, repl_sh),
+                out_shardings=group_sh,
+            ),
+        )
+        _params_repl = jax.device_put(engine.params, repl_sh)
+
+        def fwd(p, l, rf, rf2):
+            del p
+            rf = jax.tree.map(lambda a: jax.device_put(a, repl_sh), rf)
+            rf2 = jax.tree.map(lambda a: jax.device_put(a, repl_sh), rf2)
+            return fwd_base(_params_repl, jax.device_put(l, group_sh),
+                            rf, rf2)
+    else:
+        fwd = cached_jit(
+            ("remaster_fwd", H, W, length, S, GROUP, str(dtype)),
+            lambda: lambda p, l, rf, rf2: engine.model.apply(
+                p, l.astype(dtype), rf, rf2, method="colorize_with_refs"
+            ).astype(jnp.float32),
+        )
 
     half_idx = max(round(S * (1.0 - future_frame_weight)) - 1, 0)
 

@@ -100,3 +100,31 @@ class TestSceneParallelMesh:
         par = colormnet_propagate_scenes(engine, frames, ref_ab, is_ref,
                                          frame_propagate=True, mesh=mesh)
         np.testing.assert_allclose(par, seq, atol=2e-5, rtol=1e-4)
+
+
+class TestRemasterMesh:
+    def test_sharded_groups_match(self, rng):
+        """remaster_propagate(mesh=...) shards window groups over devices;
+        output must equal the single-device run (grouping only batches,
+        the per-window math is unchanged)."""
+        import jax
+        from havc_tpu.exemplar import RemasterEngine, remaster_propagate
+        from havc_tpu.parallel import make_mesh
+
+        n = min(8, len(jax.devices()))
+        if n < 2:
+            pytest.skip("needs multiple devices")
+        mesh = make_mesh(n, data=n, model=1)
+
+        eng = RemasterEngine()
+        T, h, w = 16, 64, 96
+        frames = rng.random((T, h, w, 3), dtype=np.float32)
+        refs = rng.random((4, h, w, 3), dtype=np.float32)
+        pos = np.array([0, 4, 8, 12])
+
+        base = remaster_propagate(eng, frames, refs, length=2,
+                                  ref_positions=pos, ref_buffer_size=2)
+        shard = remaster_propagate(eng, frames, refs, length=2,
+                                   ref_positions=pos, ref_buffer_size=2,
+                                   mesh=mesh)
+        np.testing.assert_allclose(shard, base, atol=2e-5, rtol=1e-4)
