@@ -768,6 +768,7 @@ def deepex_propagate(
     frame_propagate: bool = True,
     vivid: bool = False,
     batch_size: int = 4,
+    mesh=None,  # jax.sharding.Mesh: shard the frame batch ('data')
 ) -> np.ndarray:
     """Reference-conditioned colorization (deepex/__init__.py:46-263).
 
@@ -799,15 +800,53 @@ def deepex_propagate(
             p_vgg, p_warp, ib_lab, engine.vgg, engine.warp
         ),
     )
-    step = cached_jit(
-        ("deepex_step", engine.h, engine.w, batch_size),
-        lambda: lambda params, a_lab, ib_lab, last_lab, b_feat:
-            dx.frame_colorization_batched(
-                params[0], params[1], params[2], a_lab, ib_lab, last_lab,
-                b_feat, engine.vgg, engine.warp, engine.color,
-                temperature=1e-10,
+    if mesh is not None:
+        # multi-chip: frames within a scene are independent (the driver
+        # pins I_last_lab_predict per scene) -> shard the frame batch over
+        # the mesh's data axis, scene ref features + params replicated
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_data = int(mesh.shape.get("data", 1))
+        batch_size = max(batch_size, n_data)
+        batch_size = -(-batch_size // n_data) * n_data
+        frame_sh = NamedSharding(mesh, PartitionSpec("data"))
+        repl_sh = NamedSharding(mesh, PartitionSpec())
+        step_base = cached_jit(
+            ("deepex_step_mesh", engine.h, engine.w, batch_size,
+             tuple(sorted(mesh.shape.items()))),
+            lambda: jax.jit(
+                lambda params, a_lab, ib_lab, last_lab, b_feat:
+                    dx.frame_colorization_batched(
+                        params[0], params[1], params[2], a_lab, ib_lab,
+                        last_lab, b_feat, engine.vgg, engine.warp,
+                        engine.color, temperature=1e-10,
+                    ),
+                in_shardings=(repl_sh, frame_sh, repl_sh, repl_sh, repl_sh),
+                out_shardings=frame_sh,
             ),
-    )
+        )
+        _params_repl = jax.device_put(
+            (engine.p_vgg, engine.p_warp, engine.p_color), repl_sh
+        )
+
+        def step(params, a_lab, ib_lab, last_lab, b_feat):
+            del params
+            return step_base(
+                _params_repl, jax.device_put(a_lab, frame_sh),
+                jax.device_put(ib_lab, repl_sh),
+                jax.device_put(last_lab, repl_sh),
+                jax.tree.map(lambda a: jax.device_put(a, repl_sh), b_feat),
+            )
+    else:
+        step = cached_jit(
+            ("deepex_step", engine.h, engine.w, batch_size),
+            lambda: lambda params, a_lab, ib_lab, last_lab, b_feat:
+                dx.frame_colorization_batched(
+                    params[0], params[1], params[2], a_lab, ib_lab, last_lab,
+                    b_feat, engine.vgg, engine.warp, engine.color,
+                    temperature=1e-10,
+                ),
+        )
     params = (engine.p_vgg, engine.p_warp, engine.p_color)
 
     starts = list(np.nonzero(np.asarray(is_ref, bool))[0])

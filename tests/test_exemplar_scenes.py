@@ -128,3 +128,29 @@ class TestRemasterMesh:
                                    ref_positions=pos, ref_buffer_size=2,
                                    mesh=mesh)
         np.testing.assert_allclose(shard, base, atol=2e-5, rtol=1e-4)
+
+
+class TestDeepExMesh:
+    def test_sharded_batch_matches(self, rng):
+        """deepex_propagate(mesh=...) shards the per-scene frame batch;
+        output must equal the single-device run."""
+        import jax
+        from havc_tpu.exemplar import DeepExEngine, deepex_propagate
+        from havc_tpu.parallel import make_mesh
+
+        n = min(8, len(jax.devices()))
+        if n < 2:
+            pytest.skip("needs multiple devices")
+        mesh = make_mesh(n, data=n, model=1)
+
+        eng = DeepExEngine(speed="fast")
+        T = 10
+        frames = rng.random((T, eng.h, eng.w, 3), dtype=np.float32)
+        refs = np.clip(frames * 0.9 + 0.05, 0, 1)
+        is_ref = np.zeros(T, bool)
+        is_ref[[0, 5]] = True
+
+        base = deepex_propagate(eng, frames, refs, is_ref, wls_filter=False)
+        shard = deepex_propagate(eng, frames, refs, is_ref, wls_filter=False,
+                                 mesh=mesh)
+        np.testing.assert_allclose(shard, base, atol=2e-5, rtol=1e-4)
