@@ -57,7 +57,10 @@ def main():
         print(f"streamed {n} frames in {dt:.1f}s ({n / dt:.1f} fps)")
         return
 
-    clip = read_video(args.input, count=args.frames)
+    # device=True: the upload rides uint8 (1 byte/channel over the link)
+    # and the whole pipeline stays device-resident until the final uint8
+    # download inside write_video
+    clip = read_video(args.input, count=args.frames, device=True)
     print(f"loaded {clip.num_frames} frames {clip.height}x{clip.width}")
 
     t0 = time.time()

@@ -175,14 +175,26 @@ class Clip:
         return self.with_frames(out if self.on_device else np.asarray(out))
 
 
-def from_frames(frames: np.ndarray, fps: float = 25.0) -> Clip:
+def from_frames(frames: np.ndarray, fps: float = 25.0,
+                device: bool = False) -> Clip:
     """Build a Clip from an array of frames.
 
     Accepts uint8 (0..255) or float (0..1), (T, H, W, 3) or (H, W, 3).
+
+    ``device=True`` builds a device-resident Clip; uint8 input crosses the
+    host->device link at 1 byte/channel and the /255 normalization runs on
+    device (4x fewer transfer bytes than uploading float32 — the link, not
+    the chip, is the bottleneck on tunneled/PCIe-fed setups).
     """
     frames = np.asarray(frames)
     if frames.ndim == 3:
         frames = frames[None]
+    if device:
+        if frames.dtype == np.uint8:
+            from .utils import u8_to_unit
+
+            return Clip(frames=u8_to_unit(jax.device_put(frames)), fps=fps)
+        return Clip(frames=jax.device_put(frames.astype(np.float32)), fps=fps)
     if frames.dtype == np.uint8:
         frames = frames.astype(np.float32) / 255.0
     return Clip(frames=frames.astype(np.float32), fps=fps)

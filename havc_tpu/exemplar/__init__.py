@@ -494,6 +494,7 @@ def colormnet_propagate(
     vivid: bool = False,  # reset the whole memory at every reference update
     resume_state=None,  # carry from a previous chunk (chunked/streaming)
     return_state: bool = False,
+    device_out: bool = False,  # return the ab sequence as a DEVICE array
 ):
     """Scan the clip through the memory network; returns (T, H, W, 2)
     normalized ab predictions.
@@ -580,7 +581,13 @@ def colormnet_propagate(
         params, carry0,
         (*xs_core, jnp.asarray(is_ref.astype(bool))),
     )
-    out = np.asarray(ab_seq, np.float32)[:, lh : lh + fh, lw : lw + fw]
+    if device_out:
+        # keep the prediction on device (streaming paths join/restore there;
+        # downloading (T,H,W,2) f32 over a tunneled link costs more than the
+        # scan itself at small geometries)
+        out = ab_seq.astype(jnp.float32)[:, lh : lh + fh, lw : lw + fw]
+    else:
+        out = np.asarray(ab_seq, np.float32)[:, lh : lh + fh, lw : lw + fw]
     if return_state:
         # The carry is a plain pytree of arrays: serializable (np.savez /
         # orbax) for mid-video checkpoint/resume — a capability the

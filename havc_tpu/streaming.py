@@ -18,6 +18,13 @@ deflicker -> full-res chroma restore) as a three-stage stream:
 
 Memory: O(batch + chunk + halo) frames — independent of video length.
 
+Transfer design (tunnel/PCIe-bound paths): frames cross the host<->device
+link as uint8 in BOTH directions (decode hands uint8 to the first jitted
+stage, the final quantize runs on device), and the rolling halo buffers
+between the per-frame stage and the temporal/restore stages are
+DEVICE-RESIDENT — interior frames never round-trip to the host at all.
+Per output frame the link carries exactly 3 bytes/pixel up and 3 down.
+
 Reference mapping: the VapourSynth frame graph evaluates lazily with a
 bounded frame cache (SURVEY L0); this is the TPU-native equivalent of that
 property for the classic path.  The exemplar path streams via the scan
@@ -66,6 +73,10 @@ def _build_frame_stage(
 
     def stage(params, frames):
         p_do, p_dd = params
+        if frames.dtype == jnp.uint8:
+            # uint8 transfer boundary: frames cross the host->device link at
+            # 1 byte/channel; /255 fuses into the first compute stage here
+            frames = frames.astype(jnp.float32) / 255.0
         if bw_tune_id > 0:
             from .api import bw_tune_frames
 
@@ -225,22 +236,27 @@ def HAVC_main_streaming(
 
     written = 0
     # rolling buffers: originals (full res, post-BWTune) + colorized
-    # work-res frames; work_buf[0] is global frame index `global_start`
-    orig_buf: list[np.ndarray] = []
-    work_buf: list[np.ndarray] = []
+    # work-res frames; work_buf[0] is global frame index `global_start`.
+    # Buffers hold DEVICE arrays: interior frames never visit the host —
+    # only the final uint8 frames come back over the link.
+    orig_buf: list = []
+    work_buf: list = []
     global_start = 0
     next_emit = 0
 
+    from .utils import unit_to_u8 as to_u8
+
     def _padded_window(buf, lo, hi):
         """buf[lo:hi] with edge-replicated padding for out-of-range
-        indices — identical to the whole-clip ops' index clipping."""
+        indices — identical to the whole-clip ops' index clipping.
+        Pure device ops over the device-resident buffers."""
         ext_lo, ext_hi = max(lo, 0), min(hi, len(buf))
-        ext = np.stack(buf[ext_lo:ext_hi])
+        ext = jnp.stack(buf[ext_lo:ext_hi])
         if lo < 0:
-            ext = np.concatenate([np.repeat(ext[:1], -lo, 0), ext])
+            ext = jnp.concatenate([jnp.repeat(ext[:1], -lo, 0), ext])
         if hi > len(buf):
-            ext = np.concatenate(
-                [ext, np.repeat(ext[-1:], hi - len(buf), 0)])
+            ext = jnp.concatenate(
+                [ext, jnp.repeat(ext[-1:], hi - len(buf), 0)])
         return ext
 
     def emit(orig_ctx, work_ctx, ready):
@@ -248,11 +264,8 @@ def HAVC_main_streaming(
         stage (luma recover -> LUT -> deflicker) runs on the context and
         the interior `ready` frames are written."""
         nonlocal written
-        out = np.asarray(
-            restore_fn(jnp.asarray(orig_ctx), jnp.asarray(work_ctx))
-        )[halo_d: halo_d + ready]
-        for frame in out:
-            u8 = (np.clip(frame, 0, 1) * 255).round().astype(np.uint8)
+        out = restore_fn(orig_ctx, work_ctx)[halo_d: halo_d + ready]
+        for u8 in np.asarray(to_u8(out)):
             writer.write(cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
             written += 1
 
@@ -283,7 +296,7 @@ def HAVC_main_streaming(
                 # the deflicker-context interior (whose chroma windows are
                 # complete)
                 ext = _padded_window(work_buf, lo - halo, hi + halo)
-                smoothed = np.asarray(temporal_fn(jnp.asarray(ext)))
+                smoothed = temporal_fn(ext)
                 work_ctx = smoothed[halo_t: halo_t + ready + 2 * halo_d]
             emit(orig_ctx, work_ctx, ready)
             next_emit += ready
@@ -302,8 +315,8 @@ def HAVC_main_streaming(
         else:
             padded = batch
         tuned, colored = stage(params, jnp.asarray(padded))
-        orig_buf.extend(np.asarray(tuned)[:n])
-        work_buf.extend(np.asarray(colored)[:n])
+        orig_buf.extend(tuned[:n])
+        work_buf.extend(colored[:n])
         flush(final=False)
     flush(final=True)
     writer.release()
@@ -403,58 +416,72 @@ def HAVC_restore_video_streaming(
         raise IOError(f"cannot open video writer: {path_out}")
 
     def read_chunk(cap, n):
+        # uint8 at the transfer boundary: 1 byte/channel crosses the link,
+        # /255 runs on device (from_u8)
         out = []
         for _ in range(n):
             ok, bgr = cap.read()
             if not ok:
                 break
-            out.append(
-                cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-            )
+            out.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
         return np.stack(out) if out else None
 
+    import jax
+
+    from .utils import u8_to_unit as from_u8, unit_to_u8 as to_u8
+
+    def _sc_scan(refs, last, has_last):
+        """Resumable SCDetect on device: mean |luma - last ref luma| >
+        threshold, sequential carry = the last REFERENCE frame's luma.
+        Only the (t,) bool flags come back to the host."""
+        lumas = luma_of(refs)
+
+        def step(carry, lu):
+            prev, has = carry
+            diff = jnp.abs(lu - prev).mean()
+            flag = jnp.logical_or(~has, diff > sc_threshold)
+            prev = jnp.where(flag, lu, prev)
+            return (prev, jnp.logical_or(has, flag)), flag
+
+        (last, has_last), flags = jax.lax.scan(step, (last, has_last), lumas)
+        return flags, last, has_last
+
+    sc_fn = cached_jit(("stream_sc_scan", wh, ww, sc_threshold, h, w),
+                       lambda: _sc_scan)
+
     state = None
-    last_ref_luma = None  # downscaled luma of the previous REFERENCE frame
+    # carry of the resumable detector: the previous REFERENCE frame's luma
+    last_ref_luma = jnp.zeros((h, w), jnp.float32)
+    has_last = jnp.zeros((), bool)
     written = 0
-    first = True
     while count is None or written < count:
         n = chunk_size if count is None else min(chunk_size, count - written)
-        bw = read_chunk(cap_in, n)
-        refs = read_chunk(cap_ref, n)
-        if bw is None or refs is None:
+        bw_u8 = read_chunk(cap_in, n)
+        refs_u8 = read_chunk(cap_ref, n)
+        if bw_u8 is None or refs_u8 is None:
             break
-        t = min(len(bw), len(refs))
-        bw, refs = bw[:t], refs[:t]
+        t = min(len(bw_u8), len(refs_u8))
+        bw = from_u8(jnp.asarray(bw_u8[:t]))
+        refs = from_u8(jnp.asarray(refs_u8[:t]))
 
-        # resumable scene detection on the reference stream
-        ref_lumas = np.asarray(luma_of(jnp.asarray(refs)))
-        is_ref = np.zeros(t, bool)
-        for i in range(t):
-            if last_ref_luma is None:
-                is_ref[i] = True
-            else:
-                diff = float(np.abs(ref_lumas[i] - last_ref_luma).mean())
-                is_ref[i] = diff > sc_threshold
-            if is_ref[i]:
-                last_ref_luma = ref_lumas[i]
-        if first:
-            is_ref[0] = True
-            first = False
+        # resumable scene detection on the reference stream (device scan)
+        flags, last_ref_luma, has_last = sc_fn(refs, last_ref_luma, has_last)
+        is_ref = np.asarray(flags)
 
-        work = pad_fn(jnp.asarray(bw))
-        work_refs = pad_fn(jnp.asarray(refs))
+        work = pad_fn(bw)
+        work_refs = pad_fn(refs)
         ref_ab = ref_ab_fn(work_refs)
         ab, state = colormnet_propagate(
-            engine, work, np.asarray(ref_ab), is_ref,
+            engine, work, ref_ab, is_ref,
             frame_propagate=True, resume_state=state, return_state=True,
+            device_out=True,
         )
-        colored_small = join_fn(work, jnp.asarray(ab))
-        out = np.asarray(restore_fn(jnp.asarray(bw), colored_small))
-        for frame in out:
-            u8 = (np.clip(frame, 0, 1) * 255).round().astype(np.uint8)
+        colored_small = join_fn(work, ab)
+        out = np.asarray(to_u8(restore_fn(bw, colored_small)))
+        for u8 in out:
             writer.write(cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
             written += 1
-        if len(bw) < n:
+        if len(bw_u8) < n:
             break
     cap_in.release()
     cap_ref.release()
