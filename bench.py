@@ -56,6 +56,52 @@ def _emit(value, backend, note=None, extra=None):
     print(json.dumps(rec))
 
 
+def _bench_streaming_e2e(
+    sample: str = "/root/reference/samples/sample_bw.mp4",
+    n_frames: int = 160,
+):
+    """End-to-end streaming throughput on real footage: loop/upscale the
+    reference sample to 1080p once (prep excluded from the clock), then
+    time the public HAVC_main_streaming — decode -> classic pipeline ->
+    encode, wall clock INCLUDING both cv2 IO legs."""
+    import cv2
+    import numpy as np
+
+    from havc_tpu.streaming import HAVC_main_streaming
+
+    tmp_in = "/tmp/havc_bench_1080p_in.mp4"
+    tmp_out = "/tmp/havc_bench_1080p_out.mp4"
+    if not os.path.exists(tmp_in):
+        cap = cv2.VideoCapture(sample)
+        if not cap.isOpened():
+            raise IOError(f"cannot open {sample}")
+        wr = cv2.VideoWriter(
+            tmp_in, cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (1920, 1080)
+        )
+        written = 0
+        while written < n_frames:
+            ok, frame = cap.read()
+            if not ok:  # loop the sample
+                cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+                continue
+            wr.write(cv2.resize(frame, (1920, 1080),
+                                interpolation=cv2.INTER_CUBIC))
+            written += 1
+        cap.release()
+        wr.release()
+
+    # warm pass compiles every stage at the streaming batch/chunk shapes
+    # (first-compile cost is a one-time artifact, not throughput)
+    HAVC_main_streaming(tmp_in, tmp_out, Preset="medium", count=32)
+    t0 = time.perf_counter()
+    n = HAVC_main_streaming(tmp_in, tmp_out, Preset="medium")
+    dt = time.perf_counter() - t0
+    return {
+        "e2e_streaming_fps_1080p": round(n / dt, 2),
+        "e2e_streaming_frames": int(n),
+    }
+
+
 def run_child():
     """The measurement body.  Runs on whatever backend this process gets;
     prints one JSON line on success."""
@@ -63,10 +109,10 @@ def run_child():
     import jax
     import jax.numpy as jnp
 
-    os.makedirs("/tmp/havc_xla_cache", exist_ok=True)
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/havc_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from havc_tpu import enable_cache
+
+        enable_cache("/tmp/havc_xla_cache")
     except Exception:
         pass
 
@@ -210,6 +256,61 @@ def run_child():
             extra["colormnet_fps_224x448"] = round(T / dt, 2)
         except Exception as e:  # noqa: BLE001 - secondary metric only
             extra["colormnet_error"] = f"{type(e).__name__}: {e}"[:160]
+
+        # secondary metric (fail-soft): END-TO-END streaming fps on REAL
+        # footage at 1080p — decode (cv2) -> full classic pipeline ->
+        # encode (cv2), via the public HAVC_main_streaming.  This is the
+        # deliverable-shaped number: wall clock INCLUDES host video IO.
+        try:
+            extra.update(_bench_streaming_e2e())
+        except Exception as e:  # noqa: BLE001 - secondary metric only
+            extra["e2e_streaming_error"] = f"{type(e).__name__}: {e}"[:160]
+
+        # secondary metrics (fail-soft): the two slow exemplar engines at
+        # their published working geometries, device-resident inputs,
+        # steady state after one compile call
+        try:
+            from havc_tpu.exemplar import DeepExEngine, deepex_propagate
+
+            deng = DeepExEngine(speed="medium")  # 216x384
+            rng4 = np.random.default_rng(4)
+            Td = 16
+            dfr = jax.device_put(jnp.asarray(
+                rng4.random((Td, deng.h, deng.w, 3), dtype=np.float32)))
+            drf = jax.device_put(jnp.asarray(
+                rng4.random((Td, deng.h, deng.w, 3), dtype=np.float32)))
+            jax.block_until_ready((dfr, drf))
+            d_ref = np.zeros(Td, bool)
+            d_ref[[0, 8]] = True
+            deepex_propagate(deng, dfr, drf, d_ref, batch_size=8)  # compile
+            t0 = time.perf_counter()
+            deepex_propagate(deng, dfr, drf, d_ref, batch_size=8)
+            dt = time.perf_counter() - t0
+            extra[f"deepex_fps_{deng.h}x{deng.w}"] = round(Td / dt, 2)
+        except Exception as e:  # noqa: BLE001 - secondary metric only
+            extra["deepex_error"] = f"{type(e).__name__}: {e}"[:160]
+
+        try:
+            from havc_tpu.exemplar import RemasterEngine, remaster_propagate
+
+            reng = RemasterEngine()
+            rng5 = np.random.default_rng(5)
+            Tr, Hr, Wr = 16, 320, 576
+            rfr = jax.device_put(jnp.asarray(
+                rng5.random((Tr, Hr, Wr, 3), dtype=np.float32)))
+            rrf = jax.device_put(jnp.asarray(
+                rng5.random((8, Hr, Wr, 3), dtype=np.float32)))
+            jax.block_until_ready((rfr, rrf))
+            rpos = np.arange(0, Tr, 2)
+            remaster_propagate(  # compile
+                reng, rfr, rrf, ref_positions=rpos, ref_buffer_size=20)
+            t0 = time.perf_counter()
+            remaster_propagate(
+                reng, rfr, rrf, ref_positions=rpos, ref_buffer_size=20)
+            dt = time.perf_counter() - t0
+            extra[f"remaster_fps_{Hr}x{Wr}"] = round(Tr / dt, 2)
+        except Exception as e:  # noqa: BLE001 - secondary metric only
+            extra["remaster_error"] = f"{type(e).__name__}: {e}"[:160]
 
     note = None
     if not on_tpu:

@@ -15,3 +15,4 @@ __version__ = "0.2.0"
 from .api import *  # noqa: F401,F403
 from .streaming import HAVC_main_streaming  # noqa: F401
 from .utils import HAVC_LogMessage, HAVCError, MessageType  # noqa: F401
+from .utils import enable_cache  # noqa: F401  (persistent XLA compile cache)

@@ -265,11 +265,18 @@ def _lab_l3(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def _build_cm_step(engine: ColorMNetEngine, vivid: bool,
-                   frame_propagate: bool):
+                   frame_propagate: bool, reset_stream: bool = False):
     """Per-frame InferenceCore step as a pure function
     ``step(params, carry, inputs) -> (carry, ab)`` (factored out of
     :func:`colormnet_propagate` so scene-parallel propagation can vmap the
-    same scan over a batch of independent scenes)."""
+    same scan over a batch of independent scenes).
+
+    ``reset_stream=True`` (all-refs mode) appends an 11th per-step input —
+    an explicit reset flag — and keys the InferenceCore rebuild off it
+    instead of the reference flag: the reference's reset watchdog
+    (colormnet_render.py:204-221) can fire on steps without a fed ref
+    (memory-cap) and skip steps WITH one (frame counter unchanged), so the
+    two flags are independent there."""
     from ..models import memory as mem
 
     cfg = engine.mem_cfg
@@ -280,8 +287,13 @@ def _build_cm_step(engine: ColorMNetEngine, vivid: bool,
     def step(params, carry, inputs):
         p_key, p_proj, p_value, p_dec, p_attn = params
         state, hidden, last_key, last_value, frame_idx, last_mem_t = carry
-        (frame_l3, g16, g8, g4, key, shrink, sel,
-         ref_pre, rab, ref_flag) = inputs
+        if reset_stream:
+            (frame_l3, g16, g8, g4, key, shrink, sel,
+             ref_pre, rab, ref_flag, reset_flag) = inputs
+        else:
+            (frame_l3, g16, g8, g4, key, shrink, sel,
+             ref_pre, rab, ref_flag) = inputs
+            reset_flag = ref_flag
         frame_b = frame_l3[None]
         rab_oihw = rab.transpose(2, 0, 1)  # (O=2, H, W)
         g16, g8, g4 = g16[None], g8[None], g4[None]
@@ -302,7 +314,7 @@ def _build_cm_step(engine: ColorMNetEngine, vivid: bool,
                        last_mem_t)
             (state, hidden, last_key, last_value, frame_idx,
              last_mem_t) = jax.lax.cond(
-                ref_flag, clear, lambda c: c, carry_t
+                reset_flag, clear, lambda c: c, carry_t
             )
 
         qk = key[0].reshape(P, -1)
@@ -495,6 +507,8 @@ def colormnet_propagate(
     resume_state=None,  # carry from a previous chunk (chunked/streaming)
     return_state: bool = False,
     device_out: bool = False,  # return the ab sequence as a DEVICE array
+    feed_schedule: Optional[np.ndarray] = None,  # (T,) all-refs feed order
+    reset_schedule: Optional[np.ndarray] = None,  # (T,) all-refs core resets
 ):
     """Scan the clip through the memory network; returns (T, H, W, 2)
     normalized ab predictions.
@@ -531,6 +545,15 @@ def colormnet_propagate(
       (colormnet_render.py:204-221 reset_on_ref_update): memory, hidden,
       frame counters and last-memory state all reset, and the
       exemplar-insert branch is used from then on.
+    * ``feed_schedule``/``reset_schedule`` == the all-refs mode
+      (``use_all_refs``, encode_mode 2/3, vsmodels.py:52-55): refs are fed
+      in the RefImageReader's forward-lookahead order — ``feed[n]`` is the
+      reference frame index inserted (as an exemplar, step_AnyExemplar
+      semantics) at step ``n``, -1 for none — and ``reset[n]`` marks the
+      driver's InferenceCore rebuilds.  Precompute both with
+      :func:`havc_tpu.exemplar.allrefs.allrefs_feed_schedule` +
+      :func:`~havc_tpu.exemplar.allrefs.allrefs_step_schedule`;
+      ``is_ref``/``frame_propagate``/``vivid`` are ignored in this mode.
 
     Performance structure: the KEY ENCODER (resnet50 + DINOv2 — the bulk of
     the FLOPs) has no sequential dependence, so it runs BATCHED over frames
@@ -550,11 +573,36 @@ def colormnet_propagate(
 
     cfg = engine.mem_cfg
     h16, w16 = engine.g16_hw
+
+    reset_stream = feed_schedule is not None
+    if reset_stream:
+        # All-refs mode (encode_mode 2/3): refs arrive in FEED order
+        # (forthcoming scene-change refs, allrefs.allrefs_feed_schedule),
+        # always as exemplar inserts (set_ref_frame's frame_as_video
+        # defaults False in the all-refs driver loop,
+        # colormnet/__init__.py:87-88), and InferenceCore rebuilds follow
+        # the explicit reset schedule (allrefs.allrefs_step_schedule).
+        feed = np.asarray(feed_schedule, np.int64)
+        if len(feed) != len(frames):
+            raise ValueError("feed_schedule length must match frames")
+        reset = (np.zeros(len(feed), bool) if reset_schedule is None
+                 else np.asarray(reset_schedule).astype(bool))
+        if ref_frames is None:
+            ref_frames = frames
+        safe = np.clip(feed, 0, None)
+        ref_frames = np.asarray(ref_frames)[safe]
+        ref_ab = np.asarray(ref_ab)[safe]
+        is_ref = feed >= 0
+        frame_propagate = False
+        # the clear branch is only traced when it can fire
+        vivid = bool(reset.any())
+
     exemplar_insert = (not frame_propagate) or vivid
     if ref_frames is None:
         ref_frames = frames
 
-    step = _build_cm_step(engine, vivid, frame_propagate)
+    step = _build_cm_step(engine, vivid, frame_propagate,
+                          reset_stream=reset_stream)
 
     dtype = getattr(engine, "dtype", jnp.asarray(frames).dtype)
     if resume_state is not None:
@@ -567,7 +615,7 @@ def colormnet_propagate(
     # compiler's HTTP body limit at full geometry (HTTP 413).
     scan_fn = cached_jit(
         ("colormnet_scan", engine.cfg_name, engine.h, engine.w, vivid,
-         frame_propagate, str(dtype)),
+         frame_propagate, str(dtype), reset_stream),
         lambda: lambda params, init, xs: jax.lax.scan(
             lambda c, x: step(params, c, x), init, xs
         ),
@@ -577,10 +625,10 @@ def colormnet_propagate(
     xs_core, (lh, lw, fh, fw) = _cm_prepare(
         engine, frames, ref_ab, ref_frames, exemplar_insert, dtype
     )
-    final_carry, ab_seq = scan_fn(
-        params, carry0,
-        (*xs_core, jnp.asarray(is_ref.astype(bool))),
-    )
+    xs = (*xs_core, jnp.asarray(np.asarray(is_ref).astype(bool)))
+    if reset_stream:
+        xs = (*xs, jnp.asarray(reset))
+    final_carry, ab_seq = scan_fn(params, carry0, xs)
     if device_out:
         # keep the prediction on device (streaming paths join/restore there;
         # downloading (T,H,W,2) f32 over a tunneled link costs more than the
@@ -1196,6 +1244,7 @@ def _exemplar_dispatch(
     engine_config: Optional[str],
     scene_parallel: bool = False,
     scene_mesh=None,
+    use_all_refs: bool = False,
 ) -> np.ndarray:
     """Shared engine dispatch: work-res prep -> propagate -> ref-merge
     blend -> colored frames at work resolution (reference HAVC_deepex
@@ -1205,6 +1254,11 @@ def _exemplar_dispatch(
     ``scene_parallel=True`` (repo-only, TPU scale-out) routes vivid-mode
     ColorMNet through :func:`colormnet_propagate_scenes` — scenes batched
     on one chip or sharded over ``scene_mesh``'s data axis.
+
+    ``use_all_refs=True`` (ColorMNet models only — encode_mode 2/3,
+    vsmodels.py:52-55) feeds forthcoming scene-change references in the
+    RefImageReader's forward-lookahead order via precomputed schedules
+    (:mod:`havc_tpu.exemplar.allrefs`) instead of at their own frames.
 
     Returns ``(colored_small, pad_meta)`` — caller restores full size.
     """
@@ -1246,10 +1300,35 @@ def _exemplar_dispatch(
         )
         ref_ab = prep(work_refs)
         use_scenes = (
-            scene_parallel and vivid and bool(np.asarray(is_ref)[0])
+            not use_all_refs
+            and scene_parallel and vivid and bool(np.asarray(is_ref)[0])
             and int(np.asarray(is_ref).sum()) > 1
         )
-        if use_scenes:
+        if scene_parallel and not use_scenes:
+            from ..utils.log import HAVC_LogMessage, MessageType
+
+            HAVC_LogMessage(
+                MessageType.WARNING,
+                "HAVC: scene_parallel=True requested but the scene-batched "
+                "scan requires render_vivid=True, is_ref[0]=True, >1 "
+                "reference and encode_mode in (0, 1) — falling back to the "
+                "sequential scan",
+            )
+        if use_all_refs:
+            from .allrefs import allrefs_feed_schedule, allrefs_step_schedule
+
+            feed = allrefs_feed_schedule(np.asarray(is_ref).astype(bool))
+            eff, reset = allrefs_step_schedule(
+                feed, vid_length=len(work_frames),
+                reset_on_ref_update=vivid,
+                max_memory_frames=max_memory_frames,
+            )
+            ab = colormnet_propagate(
+                engine, work_frames, ref_ab, is_ref,
+                ref_frames=np.asarray(work_refs),
+                feed_schedule=eff, reset_schedule=reset,
+            )
+        elif use_scenes:
             # vivid resets make scenes independent -> batched scan over
             # the scene axis (optionally sharded over a mesh's data axis)
             ab = colormnet_propagate_scenes(
@@ -1396,10 +1475,15 @@ def HAVC_deepex(
 
     ``max_memory_frames``: ColorMNet long-term capacity
     (max_long_term_elements) / DeepRemaster reference buffer size.
-    ``encode_mode`` (0 remote / 1 local / 2 all-refs) selected a server
-    strategy in the reference; all modes map to the same jitted scan here
-    (no RPC, no VRAM watchdog).  ``torch_dir`` re-points the converted
-    weights directory (the reference re-points torch.hub).
+    ``encode_mode``: 0/1 selected the reference's remote-server vs local
+    process strategy (both map to the same jitted scan here — no RPC, no
+    VRAM watchdog); 2/3 enable the all-refs forward-reference lookahead
+    (``use_all_refs``, vsmodels.py:52-55): forthcoming scene-change
+    references are preloaded and fed to the ColorMNet memory ahead of
+    their frames in RefImageReader order — a different output from 0/1,
+    implemented as precomputed feed/reset schedules driving the same scan
+    (:mod:`havc_tpu.exemplar.allrefs`).  ``torch_dir`` re-points the
+    converted weights directory (the reference re-points torch.hub).
 
     TPU-native extras: ``engine_config`` (None/'auto' resolves to the
     published 'full' geometry when converted weights are configured, else
@@ -1429,8 +1513,8 @@ def HAVC_deepex(
         )
     if method in (2, 6) and ref_weight is not None and ref_weight < 1.0:
         raise ValueError("HAVC_deepex: RefMerge cannot be used with method in (2, 6)")
-    if encode_mode not in (0, 1, 2):
-        raise ValueError("HAVC_deepex: encode_mode must be in (0, 1, 2)")
+    if encode_mode not in (0, 1, 2, 3):
+        raise ValueError("HAVC_deepex: unknown encode mode: " + str(encode_mode))
     if method in (0, 1, 2) and clip_ref is None:
         raise ValueError(f"HAVC_deepex: method {method} requires clip_ref")
     if method in (3, 4) and sc_framedir is None:
@@ -1564,6 +1648,7 @@ def HAVC_deepex(
         render_vivid, ref_weight, enable_refmerge, ref_merge,
         max_memory_frames, engine_config,
         scene_parallel=scene_parallel, scene_mesh=scene_mesh,
+        use_all_refs=encode_mode in (2, 3),
     )
     out = _restore_full(clip, colored_small, pad_meta)
     return out.with_sc(clip_ref.sc)
@@ -1702,6 +1787,7 @@ def HAVC_restore_video(
         ref_weight=ref_weight, merge_enabled=merge_enabled,
         ref_merge=ref_merge, max_memory_frames=max_memory_frames,
         engine_config=engine_config,
+        use_all_refs=encode_mode in (2, 3),
     )
     out = _restore_full(clip, colored_small, pad_meta)
     return out.with_sc(clip_ref.sc)

@@ -889,10 +889,12 @@ def ddcolor_key_map(
 ) -> dict:
     """Map for upstream DDColor checkpoints (net_g_*.pth 'params').
     Fold spectral + weight norms FIRST (decoder convs are spectral-normed,
-    last_shuf is weight-normed).  Structural-only validation: the wheel is
-    absent in this environment, so unlike the other four families there is
-    no torch oracle — coverage is asserted on a synthetic checkpoint and
-    shapes adapt via ddcolor_config_from_state_dict."""
+    last_shuf is weight-normed).  Numerically validated: the converted
+    tree reproduces a torch transcription of upstream DDColor end to end
+    (tests/test_ref_parity_ddcolor.py vs tests/_ddcolor_oracle.py) and the
+    full wheel pipeline is pinned by the golden gate
+    (tests/test_golden_ddcolor.py); shapes adapt via
+    ddcolor_config_from_state_dict."""
     m = {}
     # encoder (ConvNeXt with out norms)
     m["encoder.arch.downsample_layers.0.0"] = (

@@ -1,6 +1,6 @@
 """Utility helpers: jit caching, logging, profiling."""
 
-from .jitcache import cached_jit, clear_jit_cache  # noqa: F401
+from .jitcache import cached_jit, clear_jit_cache, enable_cache  # noqa: F401
 from .transfer import u8_to_unit, unit_to_u8  # noqa: F401
 from .log import (  # noqa: F401
     HAVC_LogMessage,

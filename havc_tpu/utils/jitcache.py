@@ -28,3 +28,40 @@ def cached_jit(key: Hashable, make_fn: Callable[[], Callable], **jit_kwargs) -> 
 
 def clear_jit_cache():
     _CACHE.clear()
+
+
+_DEFAULT_CACHE_DIR = "~/.cache/havc_tpu/xla"
+
+
+def enable_cache(cache_dir: str = _DEFAULT_CACHE_DIR,
+                 min_compile_time_secs: float = 1.0) -> str:
+    """Enable XLA's PERSISTENT compilation cache for the whole library.
+
+    The full-geometry engines pay a large one-time compile (ColorMNet
+    'full' is minutes on a tunneled backend); with the persistent cache a
+    second process deserializes the compiled executable instead of
+    recompiling.  Call once before building engines:
+
+        import havc_tpu
+        havc_tpu.enable_cache()          # ~/.cache/havc_tpu/xla
+        havc_tpu.enable_cache("/fast/dir")
+
+    Returns the resolved cache directory.  Safe to call repeatedly; any
+    program compiled through :func:`cached_jit` (every pipeline stage and
+    engine scan) benefits automatically."""
+    import os
+
+    path = os.path.expanduser(cache_dir)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(min_compile_time_secs),
+    )
+    try:  # cache even programs XLA deems "small" savings on (jax>=0.4.30)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", 0
+        )
+    except Exception:  # older jax: flag absent
+        pass
+    return path

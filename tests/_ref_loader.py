@@ -39,6 +39,7 @@ _PKG_DIRS = {
     "vsdeoldify.colorization.colorizers": f"{REF_ROOT}/vsdeoldify/colorization/colorizers",
     "vsdeoldify.deoldify": f"{REF_ROOT}/vsdeoldify/deoldify",
     "vsdeoldify.fastai": f"{REF_ROOT}/vsdeoldify/fastai",
+    "vsdeoldify.vsslib": f"{REF_ROOT}/vsdeoldify/vsslib",
 }
 
 
@@ -82,6 +83,41 @@ def _install_stubs():
             mod = _stub_module(f"torchvision.{sub}")
             setattr(tv, sub, mod)
         _populate_torchvision_models(sys.modules["torchvision.models"])
+        _populate_torchvision_transforms(sys.modules["torchvision.transforms"])
+
+
+def _populate_torchvision_transforms(tr_mod):
+    """Functional Normalize/Compose/ToTensor for the torchvision stub —
+    enough for the reference's range_transform.py constants and the
+    colormnet_render im_transform pipelines (CHW tensors)."""
+    import torch as _torch
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean = _torch.tensor(mean, dtype=_torch.float32)
+            self.std = _torch.tensor(std, dtype=_torch.float32)
+
+        def __call__(self, x):
+            m = self.mean.view(-1, *([1] * (x.dim() - 1)))
+            s = self.std.view(-1, *([1] * (x.dim() - 1)))
+            return (x - m) / s
+
+    class Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    tr_mod.Normalize = Normalize
+    tr_mod.Compose = Compose
+
+    class InterpolationMode:
+        BILINEAR = "bilinear"
+
+    tr_mod.InterpolationMode = InterpolationMode
 
 
 def _populate_torchvision_models(models_mod):

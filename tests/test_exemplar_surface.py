@@ -79,8 +79,10 @@ class TestValidation:
                                  sc_framedir="/tmp/x", ref_merge=2)
 
     def test_encode_mode_range(self):
-        with pytest.raises(ValueError, match="encode_mode"):
-            exemplar.HAVC_deepex(_clip(), _clip(), encode_mode=3)
+        """0-3 are valid (2/3 = use_all_refs, vsmodels.py:52-55); the
+        reference raises 'unknown encode mode' beyond that."""
+        with pytest.raises(ValueError, match="unknown encode mode"):
+            exemplar.HAVC_deepex(_clip(), _clip(), encode_mode=4)
 
     def test_restore_video_method_5_6_only(self):
         with pytest.raises(ValueError, match="methods: 5, 6"):
@@ -178,6 +180,44 @@ def test_refmerge_weight_table(stub_colormnet, monkeypatch):
     exemplar.HAVC_deepex(clip, ref, ref_merge=2, render_speed="fast",
                          engine_config="micro")
     assert seen == {"ref_weight": 0.4, "merge_enabled": True}
+
+
+def test_encode_mode_2_routes_all_refs(stub_colormnet, monkeypatch):
+    """encode_mode 2/3 (use_all_refs, vsmodels.py:52-55) must drive the
+    scan with the RefImageReader feed schedule + driver reset schedule
+    instead of per-frame refs."""
+    seen = {}
+    real_propagate = exemplar.colormnet_propagate
+
+    def spy(engine, frames, ref_ab, is_ref, **kw):
+        seen["feed"] = kw.get("feed_schedule")
+        seen["reset"] = kw.get("reset_schedule")
+        T, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+        return np.full((T, H, W, 2), 0.5, np.float32)
+
+    monkeypatch.setattr(exemplar, "colormnet_propagate", spy)
+    clip = _clip(n=12, cut_at=4)
+    ref = clip.with_sc(SceneFlags.every(12, freq=3))  # refs at 0,3,6,9
+    exemplar.HAVC_deepex(clip, ref, encode_mode=2, render_speed="fast",
+                         engine_config="micro")
+    feed = seen["feed"]
+    assert feed is not None and seen["reset"] is not None
+    from havc_tpu.exemplar.allrefs import (
+        allrefs_feed_schedule, allrefs_step_schedule,
+    )
+
+    want_feed = allrefs_feed_schedule(np.arange(12) % 3 == 0)
+    want_eff, want_reset = allrefs_step_schedule(
+        want_feed, vid_length=12, reset_on_ref_update=True
+    )
+    assert (np.asarray(feed) == want_eff).all()
+    assert (np.asarray(seen["reset"]) == want_reset).all()
+
+    # encode_mode 0 must NOT use the schedules
+    monkeypatch.setattr(exemplar, "colormnet_propagate", real_propagate)
+    exemplar.HAVC_deepex(clip, ref, encode_mode=0, render_speed="fast",
+                         engine_config="micro")
+    assert stub_colormnet["is_ref"].sum() == 4
 
 
 def test_max_memory_disables_vivid(stub_colormnet):

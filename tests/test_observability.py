@@ -1,5 +1,6 @@
 """Tracing/observability subsystem (SURVEY §5): stage profiling, the
 HAVC_LogMessage logger, and per-frame scene-detect decision records."""
+import os
 import numpy as np
 import pytest
 
@@ -89,3 +90,20 @@ class TestSceneDebugRecords:
             havc_tpu.HAVC_SceneDetect(clip, sc_threshold=0.10,
                                       sc_tht_ssim=0.55, sc_debug=True)
         assert any("SC=[" in r.message for r in caplog.records)
+
+
+class TestPersistentCompileCache:
+    def test_enable_cache_populates_dir(self, tmp_path):
+        """havc_tpu.enable_cache wires XLA's persistent compilation cache
+        for the whole library (round-3 verdict: it was bench.py-only) —
+        compiled executables land in the directory so a second process
+        deserializes instead of recompiling."""
+        import jax
+        import jax.numpy as jnp
+
+        d = str(tmp_path / "xla")
+        p = havc_tpu.enable_cache(d, min_compile_time_secs=0.0)
+        assert os.path.isdir(p)
+        x = jnp.asarray(np.arange(64 * 64, dtype=np.float32).reshape(64, 64))
+        jax.jit(lambda a: jnp.sin(a) @ a.T)(x).block_until_ready()
+        assert len(os.listdir(p)) > 0

@@ -220,6 +220,43 @@ def _drive_reference(net, frames_l3, refs_l3, ref_ab, is_ref,
     return np.stack(outs)  # (T, H, W, 2)
 
 
+def _drive_reference_allrefs(net, frames_l3, refs_l3, ref_ab, eff, reset):
+    """All-refs (use_all_refs / encode_mode 2/3) driver transcription:
+    colormnet_render.colorize_frame:197-226 around the real InferenceCore —
+    the core is REBUILT on reset steps (reset_on_ref_update / memory-cap
+    watchdog), and every scheduled reference is fed via step_AnyExemplar
+    (set_ref_frame's frame_as_video defaults False in the all-refs loop,
+    colormnet/__init__.py:87-88).  ``eff``/``reset`` come from
+    havc_tpu.exemplar.allrefs.allrefs_step_schedule, whose feed order is
+    parity-pinned against the real RefImageReader in test_allrefs.py."""
+    ic_mod = load_ref_module(
+        "vsdeoldify.colormnet.inference.inference_core")
+    core = ic_mod.InferenceCore(net, config=_ref_config())
+    core.set_all_labels(list(range(1, 3)))
+    outs = []
+    with torch.no_grad():
+        for t in range(len(frames_l3)):
+            if reset[t]:
+                core = ic_mod.InferenceCore(net, config=_ref_config())
+                core.set_all_labels(list(range(1, 3)))
+            rgb = torch.from_numpy(
+                frames_l3[t].transpose(2, 0, 1).copy()
+            )
+            f = int(eff[t])
+            if f >= 0:
+                mab = torch.from_numpy(ref_ab[f].transpose(2, 0, 1).copy())
+                mlll = torch.from_numpy(
+                    refs_l3[f].transpose(2, 0, 1).copy()
+                )
+                prob = core.step_AnyExemplar(
+                    rgb, mlll, mab, list(range(1, 3))
+                )
+            else:
+                prob = core.step_AnyExemplar(rgb, None, None, None)
+            outs.append(prob.numpy().transpose(1, 2, 0))
+    return np.stack(outs)
+
+
 def _max_rel(a, b):
     return np.abs(a - b).max() / max(np.abs(a).max(), 1e-3)
 
@@ -247,6 +284,54 @@ class TestColorMNetE2E:
             "per-frame rel errs: "
             + " ".join(f"{t}:{e:.1e}" for t, e in enumerate(errs))
         )
+
+    def _run_allrefs(self, ref_network, engine, seed, vivid,
+                     max_memory_frames):
+        from havc_tpu.exemplar import colormnet_propagate
+        from havc_tpu.exemplar.allrefs import (
+            allrefs_feed_schedule, allrefs_step_schedule,
+        )
+
+        (frames, ref_rgb, ref_ab, _,
+         frames_l3, refs_l3) = _make_data(seed)
+        is_ref = np.zeros(T, bool)
+        is_ref[[0, 3, 6, 9, 12]] = True  # 5 refs >= DEF_MIN_RF_FRAMES
+        feed = allrefs_feed_schedule(is_ref)
+        assert (feed >= 0).sum() >= 3  # lookahead actually fires
+        eff, reset = allrefs_step_schedule(
+            feed, vid_length=T, reset_on_ref_update=vivid,
+            max_memory_frames=max_memory_frames,
+        )
+        ref_out = _drive_reference_allrefs(
+            ref_network, frames_l3, refs_l3, ref_ab, eff, reset
+        )
+        with jax.default_matmul_precision("highest"):
+            got = colormnet_propagate(
+                engine, frames, ref_ab, is_ref, ref_frames=ref_rgb,
+                feed_schedule=eff, reset_schedule=reset,
+            )
+        errs = [
+            _max_rel(ref_out[t], got[t]) for t in range(T)
+        ]
+        assert max(errs) < 2e-2, (
+            f"vivid={vivid} reset={reset.astype(int).tolist()} "
+            "per-frame rel errs: "
+            + " ".join(f"{t}:{e:.1e}" for t, e in enumerate(errs))
+        )
+
+    def test_allrefs_mode(self, ref_network, engine):
+        """encode_mode 2/3 (use_all_refs), no vivid: forthcoming refs fed
+        ahead of their frames; memory-cap watchdog (reset_cond_1) rebuilds
+        the core mid-clip with the last valid ref as the fresh exemplar."""
+        self._run_allrefs(ref_network, engine, seed=2, vivid=False,
+                          max_memory_frames=6)
+
+    def test_allrefs_vivid_mode(self, ref_network, engine):
+        """All-refs + reset_on_ref_update: the reference's emergent
+        every-other-fed-ref reset cadence (frame counter zeroing), plus
+        exemplar inserts into both fresh and existing memory."""
+        self._run_allrefs(ref_network, engine, seed=3, vivid=True,
+                          max_memory_frames=0)
 
     def test_exemplar_mode(self, ref_network, engine):
         """frame_propagate=False == step_AnyExemplar: refs are separate
