@@ -58,7 +58,7 @@ def _emit(value, backend, note=None, extra=None):
 
 def _bench_streaming_e2e(
     sample: str = "/root/reference/samples/sample_bw.mp4",
-    n_frames: int = 160,
+    n_frames: int = 192,
 ):
     """End-to-end streaming throughput on real footage: loop/upscale the
     reference sample to 1080p once (prep excluded from the clock), then
@@ -91,8 +91,10 @@ def _bench_streaming_e2e(
         wr.release()
 
     # warm pass compiles every stage at the streaming batch/chunk shapes
-    # (first-compile cost is a one-time artifact, not throughput)
-    HAVC_main_streaming(tmp_in, tmp_out, Preset="medium", count=32)
+    # (first-compile cost is a one-time artifact, not throughput); 64 is a
+    # multiple of the 32-frame temporal chunk like the timed run, so the
+    # tail-chunk shapes match and nothing compiles inside the clock
+    HAVC_main_streaming(tmp_in, tmp_out, Preset="medium", count=64)
     t0 = time.perf_counter()
     n = HAVC_main_streaming(tmp_in, tmp_out, Preset="medium")
     dt = time.perf_counter() - t0

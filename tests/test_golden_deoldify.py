@@ -41,8 +41,13 @@ RF = 8  # render factor: model works at 128x128 (CPU-sized)
 
 TEST_IMAGES = [
     "/root/reference/test_images/Image_01_test.jpg",
+    "/root/reference/test_images/Image_04_test.jpg",
     "/root/reference/test_images/Image_07_test.jpg",
+    "/root/reference/test_images/Image_10_test.jpg",
     "/root/reference/test_images/Image_13_test.jpg",
+    "/root/reference/test_images/Image_16_test.jpg",
+    "/root/reference/test_images/Image_19_test.jpg",
+    "/root/reference/test_images/Image_22_test.jpg",
 ]
 
 IMAGENET_MEAN = torch.tensor([0.485, 0.456, 0.406])[:, None, None]

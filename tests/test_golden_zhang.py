@@ -31,8 +31,13 @@ from havc_tpu.models import zhang as zh
 
 TEST_IMAGES = [
     "/root/reference/test_images/Image_01_test.jpg",
+    "/root/reference/test_images/Image_04_test.jpg",
     "/root/reference/test_images/Image_07_test.jpg",
+    "/root/reference/test_images/Image_10_test.jpg",
     "/root/reference/test_images/Image_13_test.jpg",
+    "/root/reference/test_images/Image_16_test.jpg",
+    "/root/reference/test_images/Image_19_test.jpg",
+    "/root/reference/test_images/Image_22_test.jpg",
 ]
 
 
