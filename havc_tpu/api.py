@@ -416,17 +416,20 @@ def HAVC_stabilizer(
         nframes, mode, sat, tht, weight, tht_scen = stab_p[:6]
         sc = x.sc.sc_prev if x.sc is not None else None
         frames = jnp.asarray(x.frames)
+        # ``weight`` is the restore's INNER merge weight, handed through to
+        # restore_color per shifted neighbour (vs_chroma_stabilizer_ex ->
+        # vs_recover_clip_color, vsfilters.py:84-116,305-356) — the
+        # reference applies no outer blend
         stab_fn = cached_jit(
-            ("stab", nframes, str(mode), sat, tht),
+            ("stab", nframes, str(mode), sat, tht, weight, tht_scen),
             lambda: lambda f, s: temporal_ops.chroma_stabilizer(
                 f, nframes=nframes, weighted=(str(mode).upper() == "W"),
-                scenechange=s, sat=sat, tht=tht,
+                scenechange=s, sat=sat, tht=tht, weight=weight,
+                tht_scen=tht_scen,
             ),
         )
         scv = jnp.asarray((sc if sc is not None else np.zeros(len(x), np.int8)).astype(np.int32))
         stabilized = stab_fn(frames, scv)
-        if weight > 0:
-            stabilized = frames * weight + stabilized * (1 - weight)
         x = x.with_frames(stabilized)
         if deflicker:
             defl = cached_jit(

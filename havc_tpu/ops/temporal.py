@@ -37,26 +37,29 @@ __all__ = [
 def average_weights(nframes: int, weighted: bool = False) -> np.ndarray:
     """Build the averaging weight vector for a window of ``nframes``.
 
-    Mirrors vsfilters._build_avg_arithmetic / _build_avg_weighted
-    (vsfilters.py:118-157): weights are integer percentages summing to 100;
-    the weighted variant gives the center frame ~40% and splits the rest
-    geometrically over the neighbours.
-    """
+    Exact transcription of vsfilters._build_avg_arithmetic /
+    _build_avg_weighted (vsfilters.py:119-157): integer percentages summing
+    to 100, returned /100.  Arithmetic gives each neighbour trunc(100/N)
+    and the remainder to the center (so e.g. N=7 -> 14/14/14/16/14/14/14).
+    The weighted variant builds an ASCENDING ramp trunc(100*(i+1)/WBase)
+    and — reference quirk — appends the same ascending ramp on the right
+    side without mirroring (the +1 neighbour gets the smallest weight, the
+    farthest future neighbour the largest)."""
+    import math
+
     nframes = int(nframes)
     assert nframes % 2 == 1 and nframes >= 3
+    nh = round((nframes - 1) / 2)
     if not weighted:
-        w = np.full(nframes, 100.0 / nframes)
-        return (w / w.sum()).astype(np.float32)
-    nh = (nframes - 1) // 2
-    # center gets weight proportional to 2**nh, neighbours decay by half
-    center = 2.0 ** nh
-    side = [2.0 ** (nh - 1 - abs(i)) for i in range(-nh + 1, nh)]
-    w = np.array(side[:nh - 1][::-1] + [center] + side[:nh - 1]) if nh > 1 else np.array([1.0, 2.0, 1.0])
-    # fall back to symmetric triangle if shapes go degenerate
-    if len(w) != nframes:
-        ramp = np.arange(1, nh + 1, dtype=np.float64)
-        w = np.concatenate([ramp, [nh + 1.0], ramp[::-1]])
-    return (w / w.sum()).astype(np.float32)
+        wi = math.trunc(100.0 / nframes)
+        wc = 100 - (nframes - 1) * wi
+        w = [wi] * nh + [wc] + [wi] * nh
+    else:
+        wbase = nframes * (nframes + 1) * 0.5
+        ramp = [math.trunc(100.0 * (i + 1) / wbase) for i in range(nh)]
+        wc = 100 - 2 * sum(ramp)
+        w = ramp + [wc] + ramp
+    return (np.asarray(w, np.float64) / 100.0).astype(np.float32)
 
 
 def chroma_stabilizer(
@@ -66,20 +69,40 @@ def chroma_stabilizer(
     scenechange: jnp.ndarray | None = None,
     sat: float = 1.0,
     tht: int = 15,
+    weight: float = 0.2,
+    tht_scen: float = 0.8,
+    frame0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """Temporal chroma averaging over ``(T, H, W, 3)`` RGB frames.
 
     For each output frame t the chroma (U, V) is a weighted average over the
     window ``t-Nh .. t+Nh``.  Border frames use edge replication (the
-    reference shifts clips with DuplicateFrames, same effect).
+    reference shifts with one-hot AverageFrames, which clamps at clip
+    bounds — same effect).
 
-    Per the reference (vsfilters.py:216-242), each *shifted* frame first has
-    its gray pixels restored from the center frame (``restore_color`` with
-    threshold ``tht``) so mostly-gray neighbours don't desaturate the
-    average.  When ``scenechange`` (bool/int array of shape (T,)) is given,
-    windows are additionally masked so no frame from a different scene
-    segment contributes: a neighbour at offset o<0 is excluded if any scene
-    cut occurs in (t+o, t], and symmetrically for o>0.
+    Per the reference (vsfilters.py:216-242 _average_clips_ex +
+    vs_sc_recover_clip_color:305-356), when ``tht`` > 0 each *shifted*
+    frame first has its gray pixels restored from the center frame
+    (``restore_color``) so mostly-gray neighbours don't bleach the average,
+    with three reference details:
+
+    * ``weight`` is the restore's inner merge weight — the restored
+      neighbour is blended back toward the raw neighbour at ``weight``
+      (there is NO outer blend in the reference);
+    * neighbours whose mean luma falls outside the standard range
+      [0.22, 0.78] (DEF_STANDARD_DARK/BRIGHT, constants.py:28-29) clamp
+      the weight to ``min(weight, -0.8)`` — mostly the center frame's
+      saturated colors instead;
+    * the first 15 output frames skip the restore entirely (the
+      ``n < 15`` warm-up passthrough, vsfilters.py:338-339); ``frame0``
+      is the global index of frames[0] so chunked/streaming callers keep
+      the warm-up aligned with the whole-clip result.
+
+    ``tht`` == 0 maps to the plain U/V average (vs_clip_color_stabilizer,
+    vsfilters.py:48-66 — the reference's fast-stab path).  When
+    ``scenechange`` (bool/int array of shape (T,)) is given, windows are
+    additionally masked so no frame from a different scene segment
+    contributes.
     """
     T = frames.shape[0]
     nframes = min(max(int(nframes), 3), 15)
@@ -102,17 +125,36 @@ def chroma_stabilizer(
     acc_v = jnp.zeros_like(y_c)
     acc_w = jnp.zeros((T,) + (1,) * (frames.ndim - 2), dtype=frames.dtype)
 
+    bshape = (T,) + (1,) * (frames.ndim - 2)   # broadcasts over (T, H, W)
+    fshape = (T,) + (1,) * (frames.ndim - 1)   # broadcasts over (T, H, W, C)
+    warm = ((jnp.arange(T) + frame0) < 15).reshape(fshape)
+
     for k, off in enumerate(range(-nh, nh + 1)):
         idx = jnp.clip(jnp.arange(T) + off, 0, T - 1)
         shifted = frames[idx]
-        if off != 0:
-            # repaint gray pixels of the shifted frame from the center frame
-            shifted = restore_color(
-                color=frames, gray=shifted, sat=sat, tht=tht, tht_scen=0.8
+        if off != 0 and tht > 0:
+            # repaint gray pixels of the shifted frame from the center
+            # frame; per-frame weight selection per the reference's
+            # standard-luma rule
+            r_pos = restore_color(
+                color=frames, gray=shifted, sat=sat, tht=tht,
+                weight=weight, tht_scen=tht_scen,
             )
+            w_neg = min(weight, -0.8)
+            r_neg = restore_color(
+                color=frames, gray=shifted, sat=sat, tht=tht,
+                weight=w_neg, tht_scen=tht_scen,
+            )
+            y_mean = jnp.mean(rgb_to_yuv(shifted)[..., 0],
+                              axis=tuple(range(1, frames.ndim - 1)))
+            standard = jnp.logical_and(
+                y_mean >= 0.22, y_mean <= 0.78
+            ).reshape(fshape)
+            restored = jnp.where(standard, r_pos, r_neg)
+            shifted = jnp.where(warm, shifted, restored)
         yuv_s = rgb_to_yuv(shifted)
         same_scene = (seg[idx] == seg).astype(frames.dtype)
-        wk = w[k] * same_scene.reshape((T,) + (1,) * (frames.ndim - 2))
+        wk = w[k] * same_scene.reshape(bshape)
         acc_u = acc_u + yuv_s[..., 1] * wk
         acc_v = acc_v + yuv_s[..., 2] * wk
         acc_w = acc_w + wk

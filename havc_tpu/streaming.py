@@ -122,7 +122,7 @@ def HAVC_main_streaming(
     LUT: Optional[int] = None,
     EnableDeflicker: bool = True,
     enable_stabilizer: bool = True,
-    stab_p=(5, "A", 1, 15, 0.2, 0.15),
+    stab_p=(5, "A", 1, 15, 0.2, 0.8),
     batch_size: int = 8,
     chunk_size: int = 32,
     count: Optional[int] = None,
@@ -175,6 +175,7 @@ def HAVC_main_streaming(
     stab_sat = float(stab_p[2])
     stab_tht = float(stab_p[3])
     stab_back = float(stab_p[4])
+    stab_tht_scen = float(stab_p[5]) if len(stab_p) > 5 else 0.8
     nf = min(max(stab_nframes, 3), 15)
     nf = nf + 1 if nf % 2 == 0 else nf  # chroma_stabilizer rounds up to odd
     # halos: temporal chroma window at work res, plus 1 frame of full-res
@@ -184,15 +185,19 @@ def HAVC_main_streaming(
     halo_d = 1 if EnableDeflicker else 0
     halo = halo_t + halo_d
 
-    def temporal_chunk(x):
-        s = temporal_ops.chroma_stabilizer(
+    def temporal_chunk(x, f0):
+        # weight is restore_color's inner merge weight (no outer blend —
+        # api.HAVC_stabilizer semantics, vsfilters.py:84-116); f0 = global
+        # index of x[0] keeps the n<15 warm-up aligned with the whole-clip
+        # result across chunks
+        return temporal_ops.chroma_stabilizer(
             x, nframes=stab_nframes, weighted=stab_weighted, sat=stab_sat,
-            tht=stab_tht,
+            tht=stab_tht, weight=stab_back, tht_scen=stab_tht_scen,
+            frame0=f0,
         )
-        return x * stab_back + s * (1.0 - stab_back)
 
     temporal_fn = cached_jit(
-        ("stream_temporal", tuple(stab_p[:5]), chunk_size, halo),
+        ("stream_temporal", tuple(stab_p[:6]), chunk_size, halo),
         lambda: temporal_chunk,
     )
 
@@ -296,7 +301,7 @@ def HAVC_main_streaming(
                 # the deflicker-context interior (whose chroma windows are
                 # complete)
                 ext = _padded_window(work_buf, lo - halo, hi + halo)
-                smoothed = temporal_fn(ext)
+                smoothed = temporal_fn(ext, jnp.int32(next_emit - halo))
                 work_ctx = smoothed[halo_t: halo_t + ready + 2 * halo_d]
             emit(orig_ctx, work_ctx, ready)
             next_emit += ready
