@@ -251,7 +251,11 @@ def make_ddcolor_fn(
 
         zname = "siggraph17" if model == 2 else "eccv16"
         m, p = registry.zhang(zname)
-        core = lambda params, x: zh.colorize(params, x, m, input_size=input_size)
+        # Zhang always runs at 256: vs_sc_colorization captures f_size into
+        # its partial but calls colorize_frame, which hardcodes HW=(256,256)
+        # (vsmodels.py:246-262 -> colorization/__init__.py:80-99; the
+        # render-factor input_size only applies to the DDColor models)
+        core = lambda params, x: zh.colorize(params, x, m, input_size=256)
     else:
         from .models import ddcolor as dd
 
