@@ -81,6 +81,12 @@ def main():
     ap.add_argument("--configs", nargs="+", default=["D+D", "DD", "DS", "DV"],
                     choices=sorted(CONFIGS))
     ap.add_argument("--weights-dir", default=None)
+    ap.add_argument("--src-dir", default=None,
+                    help="directory with the RAW downloaded .pth "
+                         "checkpoints; they are converted in place "
+                         "(models.convert.convert_all) into "
+                         "<src-dir>/converted and used as --weights-dir — "
+                         "one command from downloads to the dE table")
     ap.add_argument("--max-side", type=int, default=432,
                     help="downscale bound for the ground-truth images")
     ap.add_argument("--count", type=int, default=None,
@@ -93,6 +99,15 @@ def main():
     import havc_tpu
     from havc_tpu import metrics
     from havc_tpu.clip import Clip
+
+    if args.src_dir:
+        from havc_tpu.models.convert import convert_all
+
+        out = os.path.join(args.src_dir, "converted")
+        report = convert_all(args.src_dir, out)
+        for name, status in report.items():
+            print(f"convert: {name}: {status}")
+        args.weights_dir = out
 
     if args.weights_dir:
         havc_tpu.set_weights_dir(args.weights_dir)

@@ -1009,3 +1009,105 @@ def npz_config(tree: dict) -> Optional[dict]:
 
 __all__ += ["ddcolor_key_map", "ddcolor_config_from_state_dict",
             "convert_ddcolor_checkpoint", "npz_config"]
+
+
+# ---------------------------------------------------------------------------
+# convert-all CLI: downloaded .pth directory -> registry-layout npz directory
+# ---------------------------------------------------------------------------
+
+def _conv_deoldify(kind):
+    def run(src, dst):
+        sd = fold_weight_norm(fold_spectral_norm(load_state_dict(src)))
+        key_map = (deoldify_deep_key_map() if kind == "deep"
+                   else deoldify_wide_key_map())
+        save_params_npz(convert_params(sd, key_map), dst)
+    return run
+
+
+def _conv_simple(map_fn):
+    def run(src, dst):
+        convert_checkpoint(src, map_fn(), dst)
+    return run
+
+
+# (source filename globs, registry npz name, converter(srcs..., dst)).
+# Source names are the exact files the reference downloads
+# (vsdeoldify model_dir + torch.hub: __init__.py:2477, deepex/__init__.py:
+# 242-253, colormnet_render.py:108, remaster/__init__.py 'remasternet').
+CONVERT_ALL_PLAN = [
+    (("ColorizeVideo_gen.pth",), "deoldify_video.npz",
+     _conv_deoldify("wide")),
+    (("ColorizeStable_gen.pth",), "deoldify_stable.npz",
+     _conv_deoldify("wide")),
+    (("ColorizeArtistic_gen.pth",), "deoldify_artistic.npz",
+     _conv_deoldify("deep")),
+    (("colorization_release_v2*.pth",), "zhang_eccv16.npz",
+     _conv_simple(eccv16_key_map)),
+    (("siggraph17*.pth",), "zhang_siggraph17.npz",
+     _conv_simple(siggraph17_key_map)),
+    (("ddcolor_modelscope.pth",), "ddcolor_modelscope.npz",
+     convert_ddcolor_checkpoint),
+    (("ddcolor_artistic.pth",), "ddcolor_artistic.npz",
+     convert_ddcolor_checkpoint),
+    (("vgg19_conv.pth", "nonlocal_net_iter_76000.pth",
+      "colornet_iter_76000.pth"), "deepex.npz",
+     convert_deepex_checkpoints),
+    (("DINOv2FeatureV6_LocalAtten_s2_154000.pth",), "colormnet.npz",
+     convert_colormnet_checkpoint),
+    (("remasternet.pth.tar",), "remaster.npz",
+     convert_remaster_checkpoint),
+]
+
+
+def convert_all(src_dir: str, out_dir: str, strict: bool = False) -> dict:
+    """Convert every recognized reference checkpoint in ``src_dir`` into
+    the engine-registry layout under ``out_dir``.
+
+    One command from the downloaded .pth files to a ready weights
+    directory:  ``python -m havc_tpu.models.convert <src_dir> <out_dir>``
+    then ``havc_tpu.engines.set_weights_dir(out_dir)`` (or run
+    ``examples/evaluate_de2000.py --weights <out_dir>`` for the 23-image
+    dE table).  Returns {npz_name: "converted"|"missing: <file>"};
+    ``strict`` raises if any recognized family is absent."""
+    import glob as _glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    report = {}
+    for globs, out_name, fn in CONVERT_ALL_PLAN:
+        srcs = []
+        missing = None
+        for g in globs:
+            hits = sorted(_glob.glob(os.path.join(src_dir, g)))
+            if not hits:
+                missing = g
+                break
+            srcs.append(hits[0])
+        if missing is not None:
+            report[out_name] = f"missing: {missing}"
+            if strict:
+                raise FileNotFoundError(
+                    f"convert_all: no {missing} in {src_dir}")
+            continue
+        fn(*srcs, os.path.join(out_dir, out_name))
+        report[out_name] = "converted"
+    return report
+
+
+__all__ += ["convert_all", "CONVERT_ALL_PLAN"]
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Convert reference vs-deoldify checkpoints to the "
+                    "havc_tpu engine-registry npz layout.")
+    ap.add_argument("src_dir", help="directory with the downloaded .pth files")
+    ap.add_argument("out_dir", help="output weights directory")
+    ap.add_argument("--strict", action="store_true",
+                    help="fail if any recognized checkpoint is missing")
+    args = ap.parse_args()
+    for name, status in convert_all(args.src_dir, args.out_dir,
+                                    strict=args.strict).items():
+        print(f"{name}: {status}")
