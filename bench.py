@@ -71,6 +71,13 @@ def _bench_streaming_e2e(
 
     tmp_in = "/tmp/havc_bench_1080p_in.mp4"
     tmp_out = "/tmp/havc_bench_1080p_out.mp4"
+    if os.path.exists(tmp_in):
+        # a killed prior run can leave a short file behind — validate it
+        cap = cv2.VideoCapture(tmp_in)
+        have = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) if cap.isOpened() else 0
+        cap.release()
+        if have < n_frames:
+            os.remove(tmp_in)
     if not os.path.exists(tmp_in):
         cap = cv2.VideoCapture(sample)
         if not cap.isOpened():
@@ -284,9 +291,13 @@ def run_child():
             jax.block_until_ready((dfr, drf))
             d_ref = np.zeros(Td, bool)
             d_ref[[0, 8]] = True
-            deepex_propagate(deng, dfr, drf, d_ref, batch_size=8)  # compile
+            out = deepex_propagate(deng, dfr, drf, d_ref, batch_size=8,
+                                   device_out=True)  # compile
+            jax.block_until_ready(out)
             t0 = time.perf_counter()
-            deepex_propagate(deng, dfr, drf, d_ref, batch_size=8)
+            out = deepex_propagate(deng, dfr, drf, d_ref, batch_size=8,
+                                   device_out=True)
+            jax.block_until_ready(out)
             dt = time.perf_counter() - t0
             extra[f"deepex_fps_{deng.h}x{deng.w}"] = round(Td / dt, 2)
         except Exception as e:  # noqa: BLE001 - secondary metric only
@@ -304,11 +315,15 @@ def run_child():
                 rng5.random((8, Hr, Wr, 3), dtype=np.float32)))
             jax.block_until_ready((rfr, rrf))
             rpos = np.arange(0, Tr, 2)
-            remaster_propagate(  # compile
-                reng, rfr, rrf, ref_positions=rpos, ref_buffer_size=20)
+            out = remaster_propagate(  # compile
+                reng, rfr, rrf, ref_positions=rpos, ref_buffer_size=20,
+                device_out=True)
+            jax.block_until_ready(out)
             t0 = time.perf_counter()
-            remaster_propagate(
-                reng, rfr, rrf, ref_positions=rpos, ref_buffer_size=20)
+            out = remaster_propagate(
+                reng, rfr, rrf, ref_positions=rpos, ref_buffer_size=20,
+                device_out=True)
+            jax.block_until_ready(out)
             dt = time.perf_counter() - t0
             extra[f"remaster_fps_{Hr}x{Wr}"] = round(Tr / dt, 2)
         except Exception as e:  # noqa: BLE001 - secondary metric only

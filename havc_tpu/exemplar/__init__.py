@@ -824,6 +824,7 @@ def deepex_propagate(
     vivid: bool = False,
     batch_size: int = 4,
     mesh=None,  # jax.sharding.Mesh: shard the frame batch ('data')
+    device_out: bool = False,  # return a DEVICE array (skip the host copy)
 ) -> np.ndarray:
     """Reference-conditioned colorization (deepex/__init__.py:46-263).
 
@@ -909,7 +910,11 @@ def deepex_propagate(
         starts = [0] + starts
     bounds = starts + [T]
 
-    ab_out = [None] * T
+    # chunk outputs collected as DEVICE arrays and concatenated once —
+    # per-frame slicing/stacking created T small dispatches and dominated
+    # wall clock (round-4 perf pass: on-chip step runs 188 fps at B=8 while
+    # the old wrapper delivered 15; see ARCHITECTURE.md roofline note)
+    ab_chunks = []
     for si in range(len(starts)):
         s0, s1 = bounds[si], bounds[si + 1]
         if s1 <= s0:
@@ -928,10 +933,9 @@ def deepex_propagate(
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], batch_size - n, 0)]
                 )
-            ab = step(params, chunk, ib_lab, last_lab, b_feat)[:n]
-            for k in range(n):
-                ab_out[c0 + k] = ab[k]
-    ab_seq = jnp.stack(ab_out)
+            ab_chunks.append(step(params, chunk, ib_lab, last_lab, b_feat)[:n])
+    ab_seq = (ab_chunks[0] if len(ab_chunks) == 1
+              else jnp.concatenate(ab_chunks))
     lab_seq = jnp.concatenate([lab_frames[..., 0:1], ab_seq], axis=-1)
 
     if vivid:
@@ -954,7 +958,8 @@ def deepex_propagate(
             ),
         )
         lab_seq = smooth(lab_seq)
-    return np.asarray(jnp.clip(lab_to_rgb(lab_seq), 0.0, 1.0))
+    out = jnp.clip(lab_to_rgb(lab_seq), 0.0, 1.0)
+    return out if device_out else np.asarray(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1007,6 +1012,7 @@ def remaster_propagate(
     ref_buffer_size: int = 20,
     future_frame_weight: float = 0.5,  # constants.py:74
     mesh=None,  # jax.sharding.Mesh: shard the window-group batch ('data')
+    device_out: bool = False,  # return a DEVICE array (skip the host copy)
 ) -> np.ndarray:
     """Windowed 3D-CNN colorization (remaster_render.py:232-330): process
     ``length`` frames per forward against a SLIDING reference buffer.
@@ -1034,9 +1040,8 @@ def remaster_propagate(
     # clipped) as LAB.
     frames_dev = jnp.asarray(frames)
     l01 = luma(frames_dev)[..., None]
-    ref_frames = np.asarray(ref_frames)
     refs_dev = jnp.asarray(ref_frames)
-    R = ref_frames.shape[0]
+    R = int(refs_dev.shape[0])
     S = min(ref_buffer_size, R)
 
     dtype = getattr(engine, "dtype", jnp.float32)
@@ -1134,7 +1139,8 @@ def remaster_propagate(
     ab01 = jnp.concatenate(outs)
     ab = jnp.clip(ab01 * 255.0 - 128.0, -100, 100)
     lab_out = jnp.concatenate([l01 * 100.0, ab], axis=-1)
-    return np.asarray(jnp.clip(lab_to_rgb(lab_out), 0.0, 1.0))
+    out = jnp.clip(lab_to_rgb(lab_out), 0.0, 1.0)
+    return out if device_out else np.asarray(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1352,17 +1358,17 @@ def _exemplar_dispatch(
 
     def _run_deepex(vivid):
         engine = _get_engine("deepex", speed=render_speed)
-        dx_frames = np.asarray(
-            resize(jnp.asarray(work_frames), engine.h, engine.w, "spline64")
-        )
-        dx_refs = np.asarray(
-            resize(jnp.asarray(work_refs), engine.h, engine.w, "spline64")
-        )
+        # device-resident end to end: resizes and the propagate output stay
+        # on chip; one host transfer after the final resize
+        dx_frames = resize(jnp.asarray(work_frames), engine.h, engine.w,
+                           "spline64")
+        dx_refs = resize(jnp.asarray(work_refs), engine.h, engine.w,
+                         "spline64")
         out = deepex_propagate(
             engine, dx_frames, dx_refs, is_ref,
-            frame_propagate=frame_propagate, vivid=vivid,
+            frame_propagate=frame_propagate, vivid=vivid, device_out=True,
         )
-        return np.asarray(resize(jnp.asarray(out), wh, ww, "spline64"))
+        return np.asarray(resize(out, wh, ww, "spline64"))
 
     if ex_model == 0:
         colored_small = _run_colormnet(render_vivid)
@@ -1381,12 +1387,13 @@ def _exemplar_dispatch(
         buf = int(max_memory_frames) if max_memory_frames > 0 else 20
         engine = _get_engine("remaster")
         # sliding past/future reference window over ALL scene-change refs
-        # (remaster_render.ref_buffer_adjust)
+        # (remaster_render.ref_buffer_adjust); device-resident through the
+        # vivid post-tweak — one host transfer at the end
         ref_pos = np.nonzero(is_ref)[0]
-        colored_small = remaster_propagate(
-            engine, np.asarray(work_frames),
-            np.asarray(work_refs)[is_ref], ref_positions=ref_pos,
-            ref_buffer_size=buf,
+        colored_dev = remaster_propagate(
+            engine, jnp.asarray(work_frames),
+            jnp.asarray(work_refs)[jnp.asarray(ref_pos)],
+            ref_positions=ref_pos, ref_buffer_size=buf, device_out=True,
         )
         if render_vivid:
             fn = cached_jit(
@@ -1395,7 +1402,8 @@ def _exemplar_dispatch(
                     x, sat=DEF_VIVID_SAT_LOW, hue=int(DEF_VIVID_HUE_HIGH)
                 ),
             )
-            colored_small = np.asarray(fn(jnp.asarray(colored_small)))
+            colored_dev = fn(colored_dev)
+        colored_small = np.asarray(colored_dev)
     else:
         raise ValueError(f"HAVC_deepex: unsupported ex_model {ex_model}")
 
