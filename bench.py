@@ -108,6 +108,11 @@ def _bench_streaming_e2e(
     return {
         "e2e_streaming_fps_1080p": round(n / dt, 2),
         "e2e_streaming_frames": int(n),
+        # default transfer: auto-gray upload (1 B/px, bit-identical for
+        # the exactly-gray B&W source) + I420 packed download (1.5 B/px,
+        # OpenCV-exact) + one-chunk write pipelining = 2.5 B/px on the
+        # link vs 6 for naive RGB both ways
+        "e2e_streaming_transfer": "gray+i420",
     }
 
 

@@ -19,7 +19,7 @@ from .ops.chroma import (
     luma_adjusted_levels,
     tweak,
 )
-from .ops.colorspace import copy_chroma, luma
+from .ops.colorspace import copy_chroma, luma, rgb_to_yuv, yuv_to_rgb
 from .ops.merge import luma_masked_merge, w_luma_masked_merge
 from .ops.resize import resize
 
@@ -98,6 +98,17 @@ def recover_clip_luma(hires: jnp.ndarray, colored: jnp.ndarray) -> jnp.ndarray:
     """Copy chroma of ``colored`` onto luma of ``hires``
     (vs_recover_clip_luma:863-899)."""
     return jnp.clip(copy_chroma(colored, hires), 0.0, 1.0)
+
+
+def recover_clip_luma_y(y: jnp.ndarray, colored: jnp.ndarray) -> jnp.ndarray:
+    """``recover_clip_luma`` taking the precomputed luma plane (..., H, W)
+    instead of an RGB clip — identical output, 3x less memory for callers
+    that buffer the luma source (streaming's rolling full-res buffer)."""
+    yuv = rgb_to_yuv(colored)
+    return jnp.clip(
+        yuv_to_rgb(jnp.stack([y, yuv[..., 1], yuv[..., 2]], axis=-1)),
+        0.0, 1.0,
+    )
 
 
 def chroma_resize_restore(hires: jnp.ndarray, lowres: jnp.ndarray) -> jnp.ndarray:

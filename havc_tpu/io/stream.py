@@ -22,8 +22,10 @@ import cv2
 __all__ = ["stream_batches", "process_video"]
 
 
-def _decode_worker(path: str, batch_size: int, out_q: queue.Queue, count=None):
+def _decode_worker(path: str, batch_size: int, out_q: queue.Queue, count=None,
+                   gray: bool = False):
     cap = cv2.VideoCapture(path)
+    conv = cv2.COLOR_BGR2GRAY if gray else cv2.COLOR_BGR2RGB
     try:
         batch = []
         n = 0
@@ -33,7 +35,7 @@ def _decode_worker(path: str, batch_size: int, out_q: queue.Queue, count=None):
             ok, bgr = cap.read()
             if not ok:
                 break
-            batch.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+            batch.append(cv2.cvtColor(bgr, conv))
             n += 1
             if len(batch) == batch_size:
                 out_q.put(np.stack(batch))
@@ -46,7 +48,8 @@ def _decode_worker(path: str, batch_size: int, out_q: queue.Queue, count=None):
 
 
 def stream_batches(
-    path: str, batch_size: int = 8, prefetch: int = 4, count: Optional[int] = None
+    path: str, batch_size: int = 8, prefetch: int = 4,
+    count: Optional[int] = None, gray: bool = False,
 ) -> Iterator[np.ndarray]:
     """Yield (B, H, W, 3) uint8 RGB batches with background decode.
 
@@ -55,10 +58,16 @@ def stream_batches(
     fewer bytes than float32 — and the /255 normalization runs on device
     where it fuses into the first compute stage.  Queue memory shrinks 4x
     too.
+
+    ``gray=True`` yields (B, H, W) single-channel batches instead
+    (``cv2.COLOR_BGR2GRAY``): for B&W footage this cuts the upload a
+    further 3x; the device side replicates channels
+    (``utils.gray_to_rgb``), bit-identically for exactly-gray sources.
     """
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     t = threading.Thread(
-        target=_decode_worker, args=(path, batch_size, q, count), daemon=True
+        target=_decode_worker, args=(path, batch_size, q, count, gray),
+        daemon=True,
     )
     t.start()
     while True:

@@ -23,7 +23,13 @@ link as uint8 in BOTH directions (decode hands uint8 to the first jitted
 stage, the final quantize runs on device), and the rolling halo buffers
 between the per-frame stage and the temporal/restore stages are
 DEVICE-RESIDENT — interior frames never round-trip to the host at all.
-Per output frame the link carries exactly 3 bytes/pixel up and 3 down.
+By default the link carries 1 byte/pixel up (B&W sources auto-detected as
+gray within 3 code values upload luma only; bit-identical for an
+exactly-gray decode) and
+1.5 bytes/pixel down (device-side I420 packing, OpenCV-exact — the mp4
+encoder subsamples chroma to 4:2:0 anyway), vs 3+3 for naive uint8 RGB
+— a 2.4x cut in link bytes.  Writes are pipelined one chunk behind the
+compute so host encode overlaps device execution.
 
 Reference mapping: the VapourSynth frame graph evaluates lazily with a
 bounded frame cache (SURVEY L0); this is the TPU-native equivalent of that
@@ -41,13 +47,25 @@ import jax.numpy as jnp
 
 from . import engines, presets
 from .filters import chroma_bright_tweak, colormap_filter, dark_tweak
-from .filters import recover_clip_luma
+from .filters import recover_clip_luma, recover_clip_luma_y
+from .ops.colorspace import luma as luma_of
 from .ops import merge as merge_ops
 from .ops import temporal as temporal_ops
 from .ops.resize import resize
 from .utils import cached_jit
 
 __all__ = ["HAVC_main_streaming", "HAVC_restore_video_streaming"]
+
+
+def _is_gray(bgr: np.ndarray, tol: int = 3) -> bool:
+    """True when a decoded frame's channels agree to within ``tol`` code
+    values.  tol=0 would make the luma upload provably bit-identical;
+    tol=3 additionally covers B&W mp4 that went through a re-encode
+    (<=2-3 codes of chroma ringing, collapsed by the luma upload — below
+    the engines' own luma-conversion differences)."""
+    spread = (bgr.max(axis=-1).astype(np.int16)
+              - bgr.min(axis=-1).astype(np.int16)).max()
+    return int(spread) <= tol
 
 
 def _build_frame_stage(
@@ -58,8 +76,12 @@ def _build_frame_stage(
 ):
     """One jitted function: (optional BWTune pre-tune at full res) -> work
     resize -> engines -> combine -> per-frame post chain; returns
-    (tuned full-res frames, work-res colorized frames) — temporal +
-    restore happen downstream.  Same knob resolution as
+    (tuned full-res LUMA planes, work-res colorized frames) — temporal +
+    restore happen downstream.  The luma-only first output is exact: the
+    restore stage never reads the original's chroma
+    (recover_clip_luma = Y from original, UV from colorized), and
+    buffering planes instead of RGB cuts the rolling full-res device
+    buffer 3x.  Same knob resolution as
     api.HAVC_main_presets/HAVC_main_colorizer."""
     do_fn = dd_fn = None
     do_params = dd_params = None
@@ -73,10 +95,16 @@ def _build_frame_stage(
 
     def stage(params, frames):
         p_do, p_dd = params
+        if frames.ndim == 3:
+            # grayscale transfer boundary (B&W sources): 1 byte/PIXEL
+            # crossed the link; replicate to RGB on device
+            frames = frames[..., None]
         if frames.dtype == jnp.uint8:
             # uint8 transfer boundary: frames cross the host->device link at
             # 1 byte/channel; /255 fuses into the first compute stage here
             frames = frames.astype(jnp.float32) / 255.0
+        if frames.shape[-1] == 1:
+            frames = jnp.broadcast_to(frames, frames.shape[:-1] + (3,))
         if bw_tune_id > 0:
             from .api import bw_tune_frames
 
@@ -99,7 +127,7 @@ def _build_frame_stage(
         cmap = (chroma_adjust2 or "none").lower()
         if cmap not in ("none", ""):
             x = colormap_filter(x, cmap)
-        return frames, x
+        return luma_of(frames), x
 
     key = ("stream_stage", method, mweight, do_model, dd_model, deoldify_rf,
            ddcolor_rf, tuple(dd_tweak), hue_range, hue_range2, chroma_adjust2,
@@ -127,6 +155,8 @@ def HAVC_main_streaming(
     chunk_size: int = 32,
     count: Optional[int] = None,
     codec: str = "mp4v",
+    gray_input="auto",
+    transfer_format: str = "i420",
 ) -> int:
     """Classic HAVC_main as a bounded-memory stream; returns frames written.
 
@@ -135,6 +165,22 @@ def HAVC_main_streaming(
     the same HAVC_TimeCube LUT and reduce_flicker deflicker at full
     resolution after the restore).  Exemplar/FrameInterp modes stream via
     the scan-carry entry (HAVC_restore_video_streaming) instead.
+
+    Transfer knobs (they decide bytes on the host<->device link, the
+    bottleneck on tunneled/PCIe-fed chips):
+
+    - ``gray_input``: ``"auto"`` (default) probes the first decoded frame;
+      if its channels agree to within 3 code values — exactly-gray decode
+      (bit-identical replication on device) or re-encoded B&W with
+      residual chroma ringing (collapsed by the luma upload) — the input
+      crosses the link as 1 byte/PIXEL luma.  ``True`` forces the luma
+      path (``cv2.COLOR_BGR2GRAY``) even for colored sources (the classic
+      pipeline never reads input chroma); ``False`` always sends RGB.
+    - ``transfer_format``: ``"i420"`` (default) packs the output to YUV420
+      on device (1.5 bytes/pixel down, OpenCV-exact BT.601 studio-swing —
+      the mp4 encoder subsamples chroma to 4:2:0 anyway, this just moves
+      that step before the link); ``"rgb"`` downloads full RGB uint8
+      (exactly the in-memory pipeline's pre-encode frames).
     """
     import cv2
 
@@ -157,9 +203,20 @@ def HAVC_main_streaming(
     fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
     w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    use_gray = bool(gray_input) and gray_input is not None
+    if gray_input == "auto":
+        # probe: send luma when the decode is gray to within 3 code values
+        # (exactly-gray decode -> bit-identical replication; decoded B&W
+        # mp4 that went through a re-encode carries <=2-3 codes of chroma
+        # ringing, which the luma upload collapses — below the engines'
+        # own luma-conversion differences, and the pipeline never reads
+        # input chroma)
+        ok, probe = cap.read()
+        use_gray = bool(ok) and _is_gray(probe)
     cap.release()
     if w <= 0 or h <= 0:
         raise IOError(f"cannot read video geometry: {path_in}")
+    use_i420 = (transfer_format == "i420") and h % 2 == 0 and w % 2 == 0
 
     frame_size = min(max(ddcolor_rf, deoldify_rf) * 16, w)
     stage, params = _build_frame_stage(
@@ -209,11 +266,12 @@ def HAVC_main_streaming(
     else:
         table = tweaks = None
 
-    def restore_chunk(hi, lo):
+    def restore_chunk(hi_y, lo):
         """Full-res tail: luma-restore -> LUT -> deflicker (api order:
-        stabilizer -> HAVC_TimeCube -> reduce_flicker)."""
-        out = recover_clip_luma(
-            hi, jnp.clip(resize(lo, h, w, "spline64"), 0.0, 1.0)
+        stabilizer -> HAVC_TimeCube -> reduce_flicker).  ``hi_y`` is the
+        buffered luma plane (the restore never reads original chroma)."""
+        out = recover_clip_luma_y(
+            hi_y, jnp.clip(resize(lo, h, w, "spline64"), 0.0, 1.0)
         )
         if table is not None:
             from .ops import lut3d
@@ -240,16 +298,17 @@ def HAVC_main_streaming(
         raise IOError(f"cannot open video writer: {path_out}")
 
     written = 0
-    # rolling buffers: originals (full res, post-BWTune) + colorized
-    # work-res frames; work_buf[0] is global frame index `global_start`.
-    # Buffers hold DEVICE arrays: interior frames never visit the host —
-    # only the final uint8 frames come back over the link.
+    # rolling buffers: original LUMA planes (full res, post-BWTune) +
+    # colorized work-res frames; work_buf[0] is global frame index
+    # `global_start`.  Buffers hold DEVICE arrays: interior frames never
+    # visit the host — only the final packed frames come back over the
+    # link.
     orig_buf: list = []
     work_buf: list = []
     global_start = 0
     next_emit = 0
 
-    from .utils import unit_to_u8 as to_u8
+    from .utils import rgb_unit_to_i420_u8 as to_i420, unit_to_u8 as to_u8
 
     def _padded_window(buf, lo, hi):
         """buf[lo:hi] with edge-replicated padding for out-of-range
@@ -264,15 +323,37 @@ def HAVC_main_streaming(
                 [ext, jnp.repeat(ext[-1:], hi - len(buf), 0)])
         return ext
 
+    # one-chunk write pipeline: the device array for chunk N is fetched
+    # and encoded on the host WHILE chunk N+1's compute is in flight
+    # (JAX async dispatch) — host encode overlaps device compute and the
+    # down-transfer of the previous chunk.
+    pending: list = []
+
+    def _drain():
+        nonlocal written
+        while pending:
+            host = np.asarray(pending.pop(0))
+            for fr in host:
+                if use_i420:
+                    writer.write(cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
+                else:
+                    writer.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+                written += 1
+
     def emit(orig_ctx, work_ctx, ready):
         """orig/work with halo_d frames of context each side; the restore
         stage (luma recover -> LUT -> deflicker) runs on the context and
         the interior `ready` frames are written."""
-        nonlocal written
         out = restore_fn(orig_ctx, work_ctx)[halo_d: halo_d + ready]
-        for u8 in np.asarray(to_u8(out)):
-            writer.write(cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
-            written += 1
+        dev = to_i420(out) if use_i420 else to_u8(out)
+        try:
+            # start the device->host copy as soon as the chunk is packed:
+            # it then overlaps the next chunk's compute and the host IO
+            dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        _drain()  # write the previous chunk while this one computes
+        pending.append(dev)
 
     def flush(final: bool):
         """Emit every frame whose temporal window is complete (all frames
@@ -311,7 +392,8 @@ def HAVC_main_streaming(
                 del orig_buf[:drop], work_buf[:drop]
                 global_start += drop
 
-    for batch in stream_batches(path_in, batch_size, prefetch=4, count=count):
+    for batch in stream_batches(path_in, batch_size, prefetch=4, count=count,
+                                gray=use_gray):
         n = batch.shape[0]
         if n < batch_size:
             padded = np.concatenate(
@@ -324,6 +406,7 @@ def HAVC_main_streaming(
         work_buf.extend(colored[:n])
         flush(final=False)
     flush(final=True)
+    _drain()
     writer.release()
     return written
 
@@ -339,6 +422,8 @@ def HAVC_restore_video_streaming(
     count: Optional[int] = None,
     codec: str = "mp4v",
     work_size: Optional[tuple] = None,
+    gray_input="auto",
+    transfer_format: str = "i420",
 ) -> int:
     """Exemplar restore as a bounded-memory stream (the streaming form of
     HAVC_restore_video ex_model=0): a B&W video is re-colorized from a
@@ -377,6 +462,14 @@ def HAVC_restore_video_streaming(
     fps = cap_in.get(cv2.CAP_PROP_FPS) or 25.0
     w = int(cap_in.get(cv2.CAP_PROP_FRAME_WIDTH))
     h = int(cap_in.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    # transfer knobs (see HAVC_main_streaming): luma-only upload for the
+    # B&W stream when its decode is exactly gray; I420 packed download
+    use_gray = bool(gray_input) and gray_input is not None
+    if gray_input == "auto":
+        ok, probe = cap_in.read()
+        use_gray = bool(ok) and _is_gray(probe)
+        cap_in.set(cv2.CAP_PROP_POS_FRAMES, 0)
+    use_i420 = (transfer_format == "i420") and h % 2 == 0 and w % 2 == 0
 
     if work_size is None:
         wh, ww = smart_resize_shape(w, h, render_speed)
@@ -420,20 +513,26 @@ def HAVC_restore_video_streaming(
     if not writer.isOpened():
         raise IOError(f"cannot open video writer: {path_out}")
 
-    def read_chunk(cap, n):
+    def read_chunk(cap, n, gray=False):
         # uint8 at the transfer boundary: 1 byte/channel crosses the link,
-        # /255 runs on device (from_u8)
+        # /255 runs on device (from_u8); gray streams send 1 byte/PIXEL
+        conv = cv2.COLOR_BGR2GRAY if gray else cv2.COLOR_BGR2RGB
         out = []
         for _ in range(n):
             ok, bgr = cap.read()
             if not ok:
                 break
-            out.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+            out.append(cv2.cvtColor(bgr, conv))
         return np.stack(out) if out else None
 
     import jax
 
-    from .utils import u8_to_unit as from_u8, unit_to_u8 as to_u8
+    from .utils import (
+        gray_to_rgb,
+        rgb_unit_to_i420_u8 as to_i420,
+        u8_to_unit as from_u8,
+        unit_to_u8 as to_u8,
+    )
 
     def _sc_scan(refs, last, has_last):
         """Resumable SCDetect on device: mean |luma - last ref luma| >
@@ -461,12 +560,14 @@ def HAVC_restore_video_streaming(
     written = 0
     while count is None or written < count:
         n = chunk_size if count is None else min(chunk_size, count - written)
-        bw_u8 = read_chunk(cap_in, n)
+        bw_u8 = read_chunk(cap_in, n, gray=use_gray)
         refs_u8 = read_chunk(cap_ref, n)
         if bw_u8 is None or refs_u8 is None:
             break
         t = min(len(bw_u8), len(refs_u8))
         bw = from_u8(jnp.asarray(bw_u8[:t]))
+        if use_gray:
+            bw = gray_to_rgb(bw)
         refs = from_u8(jnp.asarray(refs_u8[:t]))
 
         # resumable scene detection on the reference stream (device scan)
@@ -482,9 +583,11 @@ def HAVC_restore_video_streaming(
             device_out=True,
         )
         colored_small = join_fn(work, ab)
-        out = np.asarray(to_u8(restore_fn(bw, colored_small)))
+        full = restore_fn(bw, colored_small)
+        out = np.asarray(to_i420(full) if use_i420 else to_u8(full))
         for u8 in out:
-            writer.write(cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
+            writer.write(cv2.cvtColor(
+                u8, cv2.COLOR_YUV2BGR_I420 if use_i420 else cv2.COLOR_RGB2BGR))
             written += 1
         if len(bw_u8) < n:
             break

@@ -1,7 +1,12 @@
 """Utility helpers: jit caching, logging, profiling."""
 
 from .jitcache import cached_jit, clear_jit_cache, enable_cache  # noqa: F401
-from .transfer import u8_to_unit, unit_to_u8  # noqa: F401
+from .transfer import (  # noqa: F401
+    gray_to_rgb,
+    rgb_unit_to_i420_u8,
+    u8_to_unit,
+    unit_to_u8,
+)
 from .log import (  # noqa: F401
     HAVC_LogMessage,
     HAVCError,

@@ -258,7 +258,7 @@ def test_hybrid_merge_weight(monkeypatch):
         return np.full((T, H, W, 2), 0.0, np.float32)
 
     def fake_dx(engine, frames, refs, is_ref, frame_propagate=True,
-                vivid=False):
+                vivid=False, **kw):
         seen["dx_vivid"] = vivid
         return np.full_like(frames, B)
 

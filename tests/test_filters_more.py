@@ -85,3 +85,20 @@ class TestPlaceboTiled:
         assert out.num_frames == 4
         assert out.height == 64 and out.width == 96
         assert np.isfinite(np.asarray(out.frames)).all()
+
+
+def test_recover_clip_luma_y_equals_rgb_variant():
+    """The luma-plane variant must be numerically identical to the RGB
+    variant (streaming buffers Y planes instead of RGB, 3x less HBM)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from havc_tpu.filters import recover_clip_luma, recover_clip_luma_y
+    from havc_tpu.ops.colorspace import luma
+
+    rng = np.random.default_rng(11)
+    hi = jnp.asarray(rng.random((3, 16, 20, 3)).astype(np.float32))
+    lo = jnp.asarray(rng.random((3, 16, 20, 3)).astype(np.float32))
+    a = np.asarray(recover_clip_luma(hi, lo))
+    b = np.asarray(recover_clip_luma_y(luma(hi), lo))
+    np.testing.assert_array_equal(a, b)

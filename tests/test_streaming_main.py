@@ -78,7 +78,7 @@ def test_streaming_equals_whole_clip(tmp_path, chunk_size):
         work.append(
             np.asarray(stage(params, jnp.asarray(frames[s:s + 8]))[1])
         )
-    work = np.concatenate(work)
+    work = np.concatenate(work)  # stage()[0] is now the luma plane only
     sm = np.asarray(temporal_ops.chroma_stabilizer(
         jnp.asarray(work), nframes=5, weighted=False, sat=1.0, tht=15))
     sm = work * 0.2 + sm * 0.8
@@ -156,12 +156,14 @@ def test_streaming_with_bwtune_lut_equals_whole(tmp_path):
         t_, w_ = stage(params, jnp.asarray(frames[s:s + 8]))
         tuned_l.append(np.asarray(t_))
         work_l.append(np.asarray(w_))
-    tuned = np.concatenate(tuned_l)
+    tuned = np.concatenate(tuned_l)  # luma planes (stage returns Y only)
     work = np.concatenate(work_l)
     sm = np.asarray(temporal_ops.chroma_stabilizer(
         jnp.asarray(work), nframes=5, weighted=False, sat=1.0, tht=15))
     sm = work * 0.2 + sm * 0.8
-    full = np.asarray(recover_clip_luma(
+    from havc_tpu.filters import recover_clip_luma_y
+
+    full = np.asarray(recover_clip_luma_y(
         jnp.asarray(tuned),
         jnp.clip(resize(jnp.asarray(sm), frames.shape[1], frames.shape[2],
                         "spline64"), 0, 1),
@@ -209,3 +211,52 @@ def test_restore_video_streaming_exemplar(tmp_path):
     # chunked == whole through the carried scan state (codec-lossy bound)
     err = np.abs(outs[4] - outs[12]).mean()
     assert err < 5e-3, f"chunked exemplar streams diverge: {err:.4f}"
+
+
+def test_streaming_gray_auto_and_i420(tmp_path, monkeypatch):
+    """Transfer knobs: (a) the auto probe must select the luma upload for
+    an exactly-gray source; (b) default (gray+i420) output must match the
+    full-RGB transfer output to well under codec scale (the gray upload is
+    bit-identical; i420 only moves the encoder's own 4:2:0 subsample
+    before the link)."""
+    from havc_tpu.io import stream as io_stream
+
+    src = tmp_path / "in.mp4"
+    # smooth exactly-gray content: per-pixel noise would make the i420
+    # top-left chroma siting measurably differ from the encoder's own
+    # averaging subsample; realistic footage is smooth at chroma scale
+    wr = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                         (80, 64))
+    yy, xx = np.mgrid[0:64, 0:80].astype(np.float32)
+    for i in range(16):
+        g = 0.25 + 0.5 * (xx / 80) * (0.5 + 0.5 * np.sin(i / 4 + yy / 21))
+        u8 = (np.clip(g, 0, 1) * 255).round().astype(np.uint8)
+        wr.write(cv2.merge([u8, u8, u8]))
+    wr.release()
+
+    seen = {}
+    orig = io_stream.stream_batches
+
+    def spy(path, batch_size=8, prefetch=4, count=None, gray=False):
+        seen["gray"] = gray
+        return orig(path, batch_size, prefetch, count, gray)
+
+    monkeypatch.setattr(streaming, "stream_batches", spy, raising=False)
+    monkeypatch.setattr(io_stream, "stream_batches", spy)
+
+    out_def = tmp_path / "out_def.mp4"
+    n = streaming.HAVC_main_streaming(
+        str(src), str(out_def), Preset="fast", ColorModel="zhang(eccv16)",
+        batch_size=8, chunk_size=8,
+    )
+    assert n == 16
+    assert seen["gray"] is True  # auto probe picked the luma upload
+
+    out_rgb = tmp_path / "out_rgb.mp4"
+    streaming.HAVC_main_streaming(
+        str(src), str(out_rgb), Preset="fast", ColorModel="zhang(eccv16)",
+        batch_size=8, chunk_size=8, gray_input=False, transfer_format="rgb",
+    )
+    a, b = _read_video(out_def), _read_video(out_rgb)
+    err = np.abs(a - b).mean()
+    assert err < 8e-3, f"gray+i420 vs rgb transfer diverged: {err:.4f}"

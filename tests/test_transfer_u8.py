@@ -87,3 +87,50 @@ def test_read_video_device(tmp_path):
     assert dev.on_device
     np.testing.assert_allclose(np.asarray(dev.frames), host.frames,
                                rtol=0, atol=1.2e-7)
+
+
+def test_i420_pack_matches_cv2_bit_exact():
+    """Device I420 packing must be bit-identical to
+    cv2.cvtColor(u8, COLOR_RGB2YUV_I420) — same BT.601 studio-swing
+    integer math, same top-left 2x2 chroma siting, same plane packing."""
+    import cv2
+
+    from havc_tpu.utils import rgb_unit_to_i420_u8
+
+    rng = np.random.default_rng(7)
+    # include an H % 4 != 0 geometry: the packed chroma planes then do not
+    # align to whole rows of W and only contiguous packing is correct
+    for (t, h, w) in [(3, 32, 48), (2, 34, 46)]:
+        u8 = rng.integers(0, 256, (t, h, w, 3), dtype=np.uint8)
+        got = np.asarray(rgb_unit_to_i420_u8(jnp.asarray(
+            u8.astype(np.float32) / 255.0)))
+        assert got.shape == (t, h * 3 // 2, w)
+        for i in range(t):
+            want = cv2.cvtColor(u8[i], cv2.COLOR_RGB2YUV_I420)
+            np.testing.assert_array_equal(got[i], want)
+
+
+def test_i420_roundtrip_close():
+    """cv2's YUV2BGR_I420 of the device packing must recover the input to
+    within 4:2:0 subsampling error on smooth content."""
+    import cv2
+
+    from havc_tpu.utils import rgb_unit_to_i420_u8
+
+    yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+    rgb = np.stack([yy / 64, xx / 96, (yy + xx) / 160], -1)[None]
+    packed = np.asarray(rgb_unit_to_i420_u8(jnp.asarray(rgb)))[0]
+    back = cv2.cvtColor(cv2.cvtColor(packed, cv2.COLOR_YUV2BGR_I420),
+                        cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    assert np.abs(back - rgb[0]).mean() < 0.02
+
+
+def test_gray_to_rgb_replication():
+    from havc_tpu.utils import gray_to_rgb
+
+    rng = np.random.default_rng(8)
+    g = rng.random((2, 6, 8)).astype(np.float32)
+    out = np.asarray(gray_to_rgb(jnp.asarray(g)))
+    assert out.shape == (2, 6, 8, 3)
+    for c in range(3):
+        np.testing.assert_array_equal(out[..., c], g)
