@@ -25,11 +25,15 @@ between the per-frame stage and the temporal/restore stages are
 DEVICE-RESIDENT — interior frames never round-trip to the host at all.
 By default the link carries 1 byte/pixel up (B&W sources auto-detected as
 gray within 3 code values upload luma only; bit-identical for an
-exactly-gray decode) and
-1.5 bytes/pixel down (device-side I420 packing, OpenCV-exact — the mp4
-encoder subsamples chroma to 4:2:0 anyway), vs 3+3 for naive uint8 RGB
-— a 2.4x cut in link bytes.  Writes are pipelined one chunk behind the
-compute so host encode overlaps device execution.
+exactly-gray decode) and 0.5 bytes/pixel down: in gray-upload mode the
+host already owns the output luma, so only the packed I420 chroma planes
+cross the link (``uv420``) and the luma-only deflicker runs on host Y
+planes; when the device retunes luma (BWTune/LUT) auto falls back to full
+device-side I420 packing (1.5 B/px, OpenCV-exact — the mp4 encoder
+subsamples chroma to 4:2:0 anyway).  vs 3+3 for naive uint8 RGB that is
+a 4-8x cut in link bytes.  Downloads start asynchronously when packed and
+writes are pipelined one chunk behind the compute so host encode overlaps
+device execution.
 
 Reference mapping: the VapourSynth frame graph evaluates lazily with a
 bounded frame cache (SURVEY L0); this is the TPU-native equivalent of that
@@ -156,7 +160,7 @@ def HAVC_main_streaming(
     count: Optional[int] = None,
     codec: str = "mp4v",
     gray_input="auto",
-    transfer_format: str = "i420",
+    transfer_format: str = "auto",
 ) -> int:
     """Classic HAVC_main as a bounded-memory stream; returns frames written.
 
@@ -176,11 +180,17 @@ def HAVC_main_streaming(
       crosses the link as 1 byte/PIXEL luma.  ``True`` forces the luma
       path (``cv2.COLOR_BGR2GRAY``) even for colored sources (the classic
       pipeline never reads input chroma); ``False`` always sends RGB.
-    - ``transfer_format``: ``"i420"`` (default) packs the output to YUV420
-      on device (1.5 bytes/pixel down, OpenCV-exact BT.601 studio-swing —
-      the mp4 encoder subsamples chroma to 4:2:0 anyway, this just moves
-      that step before the link); ``"rgb"`` downloads full RGB uint8
-      (exactly the in-memory pipeline's pre-encode frames).
+    - ``transfer_format``: ``"auto"`` (default) picks the cheapest sound
+      mode.  ``"uv420"`` downloads ONLY the packed chroma planes
+      (0.5 bytes/pixel): in gray-upload mode the host already owns the
+      output luma (the stage luma is exactly the decoded gray), so the
+      luma-only deflicker runs on host Y planes and the frame is
+      reassembled host-side; requires gray upload, ``BWTune='none'`` and
+      no LUT (both retune luma on device), else auto falls back to
+      ``"i420"`` — full device-side YUV420 packing (1.5 bytes/pixel,
+      OpenCV-exact BT.601 studio-swing; the mp4 encoder subsamples chroma
+      to 4:2:0 anyway).  ``"rgb"`` downloads full RGB uint8 (exactly the
+      in-memory pipeline's pre-encode frames).
     """
     import cv2
 
@@ -216,7 +226,19 @@ def HAVC_main_streaming(
     cap.release()
     if w <= 0 or h <= 0:
         raise IOError(f"cannot read video geometry: {path_in}")
-    use_i420 = (transfer_format == "i420") and h % 2 == 0 and w % 2 == 0
+    even = h % 2 == 0 and w % 2 == 0
+    # uv420 needs the host to OWN the output luma: gray upload (host Y ==
+    # stage luma bit-exactly), no BWTune (it retunes luma on device), no
+    # LUT (it remaps luma and chroma jointly on device)
+    uv_ok = even and use_gray and bw_tune_id == 0 and LUT is None
+    tf = transfer_format
+    if tf == "auto":
+        tf = "uv420" if uv_ok else ("i420" if even else "rgb")
+    use_uv420 = tf == "uv420" and uv_ok
+    use_i420 = (tf == "i420" or (tf == "uv420" and not uv_ok)) and even
+    # device deflicker only when the tail stays on device; in uv420 mode
+    # the (luma-only) deflicker runs on host Y planes instead
+    dev_deflicker = EnableDeflicker and not use_uv420
 
     frame_size = min(max(ddcolor_rf, deoldify_rf) * 16, w)
     stage, params = _build_frame_stage(
@@ -239,8 +261,14 @@ def HAVC_main_streaming(
     # deflicker context on each side (context frames themselves need their
     # chroma windows complete, so the buffers retain the sum)
     halo_t = ((nf - 1) // 2) if enable_stabilizer else 0
-    halo_d = 1 if EnableDeflicker else 0
-    halo = halo_t + halo_d
+    # device context frames for the deflicker; in uv420 mode the host
+    # does the deflicker but the flush must still hold one frame of
+    # decode lead so y[next] exists at chunk boundaries
+    halo_d = 1 if dev_deflicker else 0
+    halo_win = halo_t + halo_d  # device window context
+    # decode lead required before a chunk may emit (>= window, +1 when
+    # the host deflicker needs y[next] at the chunk boundary)
+    halo = halo_win + (1 if (EnableDeflicker and use_uv420) else 0)
 
     def temporal_chunk(x, f0):
         # weight is restore_color's inner merge weight (no outer blend —
@@ -254,7 +282,7 @@ def HAVC_main_streaming(
         )
 
     temporal_fn = cached_jit(
-        ("stream_temporal", tuple(stab_p[:6]), chunk_size, halo),
+        ("stream_temporal", tuple(stab_p[:6]), chunk_size, halo_win),
         lambda: temporal_chunk,
     )
 
@@ -284,12 +312,12 @@ def HAVC_main_streaming(
                 out = chroma_tweak_fn(out, hue=hue, sat=sat,
                                       bright=bright / 255.0, cont=cont,
                                       gamma=gamma)
-        if EnableDeflicker:
+        if dev_deflicker:
             out = temporal_ops.reduce_flicker(out)
         return out
 
     restore_fn = cached_jit(
-        ("stream_restore", h, w, frame_size, LUT, EnableDeflicker),
+        ("stream_restore", h, w, frame_size, LUT, dev_deflicker),
         lambda: restore_chunk,
     )
 
@@ -323,6 +351,32 @@ def HAVC_main_streaming(
                 [ext, jnp.repeat(ext[-1:], hi - len(buf), 0)])
         return ext
 
+    # host Y planes for the uv420 tail (uint8, decoded gray — the stage
+    # luma is exactly these values /255 in gray-upload mode)
+    y_host: list = []
+    y_base = 0
+
+    def _host_y_window(start, ready):
+        """Host-side luma tail: deflicker (reduce_flicker numerics, luma
+        only) then the OpenCV studio-swing Y mapping the device I420 pack
+        uses.  y[start-1 .. start+ready] come from the host decode; at
+        clip edges indices clip like the whole-clip op."""
+        n_dec = y_base + len(y_host)
+
+        def get(i):
+            return y_host[max(0, min(i, n_dec - 1)) - y_base]
+
+        ys = np.stack([get(j) for j in range(start - 1, start + ready + 1)])
+        y01 = ys.astype(np.float32) / 255.0
+        cur = y01[1:ready + 1]
+        if EnableDeflicker:
+            target = 0.5 * (y01[0:ready] + y01[2:ready + 2])
+            limit = 5.0 / 255.0
+            corr = np.clip(0.5 * (target - cur), -limit, limit)
+            cur = np.clip(cur + corr, 0.0, 1.0)
+        v = np.rint(cur * 255.0).astype(np.int32)
+        return ((900726 * v + (1 << 19) + (16 << 20)) >> 20).astype(np.uint8)
+
     # one-chunk write pipeline: the device array for chunk N is fetched
     # and encoded on the host WHILE chunk N+1's compute is in flight
     # (JAX async dispatch) — host encode overlaps device compute and the
@@ -330,9 +384,22 @@ def HAVC_main_streaming(
     pending: list = []
 
     def _drain():
-        nonlocal written
+        nonlocal written, y_base
         while pending:
-            host = np.asarray(pending.pop(0))
+            dev, start, ready = pending.pop(0)
+            host = np.asarray(dev)
+            if use_uv420:
+                ystudio = _host_y_window(start, ready)
+                for i in range(ready):
+                    fr = np.concatenate([ystudio[i], host[i]], axis=0)
+                    writer.write(cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
+                    written += 1
+                # retain one past Y plane for the next chunk's deflicker
+                keep_from = start + ready - 1
+                if keep_from > y_base:
+                    del y_host[: keep_from - y_base]
+                    y_base = keep_from
+                continue
             for fr in host:
                 if use_i420:
                     writer.write(cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
@@ -342,10 +409,18 @@ def HAVC_main_streaming(
 
     def emit(orig_ctx, work_ctx, ready):
         """orig/work with halo_d frames of context each side; the restore
-        stage (luma recover -> LUT -> deflicker) runs on the context and
-        the interior `ready` frames are written."""
+        stage (luma recover -> LUT -> device deflicker) runs on the
+        context and the interior `ready` frames are written."""
         out = restore_fn(orig_ctx, work_ctx)[halo_d: halo_d + ready]
-        dev = to_i420(out) if use_i420 else to_u8(out)
+        if use_uv420:
+            # only the chroma planes of the packed I420 cross the link
+            # (0.5 B/px); XLA dead-code-eliminates the Y computation from
+            # the sliced concat, and the host supplies Y from its decode
+            dev = to_i420(out)[:, h:, :]
+        elif use_i420:
+            dev = to_i420(out)
+        else:
+            dev = to_u8(out)
         try:
             # start the device->host copy as soon as the chunk is packed:
             # it then overlaps the next chunk's compute and the host IO
@@ -353,7 +428,7 @@ def HAVC_main_streaming(
         except AttributeError:
             pass
         _drain()  # write the previous chunk while this one computes
-        pending.append(dev)
+        pending.append((dev, next_emit, ready))
 
     def flush(final: bool):
         """Emit every frame whose temporal window is complete (all frames
@@ -381,13 +456,13 @@ def HAVC_main_streaming(
                 # work window with BOTH halos; temporal over it, then keep
                 # the deflicker-context interior (whose chroma windows are
                 # complete)
-                ext = _padded_window(work_buf, lo - halo, hi + halo)
-                smoothed = temporal_fn(ext, jnp.int32(next_emit - halo))
+                ext = _padded_window(work_buf, lo - halo_win, hi + halo_win)
+                smoothed = temporal_fn(ext, jnp.int32(next_emit - halo_win))
                 work_ctx = smoothed[halo_t: halo_t + ready + 2 * halo_d]
             emit(orig_ctx, work_ctx, ready)
             next_emit += ready
-            # retain `halo` past frames for the next chunk's window
-            drop = max((next_emit - halo) - global_start, 0)
+            # retain the window's past frames for the next chunk
+            drop = max((next_emit - halo_win) - global_start, 0)
             if drop:
                 del orig_buf[:drop], work_buf[:drop]
                 global_start += drop
@@ -402,6 +477,8 @@ def HAVC_main_streaming(
         else:
             padded = batch
         tuned, colored = stage(params, jnp.asarray(padded))
+        if use_uv420:
+            y_host.extend(batch[:n])
         orig_buf.extend(tuned[:n])
         work_buf.extend(colored[:n])
         flush(final=False)
@@ -423,7 +500,7 @@ def HAVC_restore_video_streaming(
     codec: str = "mp4v",
     work_size: Optional[tuple] = None,
     gray_input="auto",
-    transfer_format: str = "i420",
+    transfer_format: str = "auto",
 ) -> int:
     """Exemplar restore as a bounded-memory stream (the streaming form of
     HAVC_restore_video ex_model=0): a B&W video is re-colorized from a
@@ -469,7 +546,16 @@ def HAVC_restore_video_streaming(
         ok, probe = cap_in.read()
         use_gray = bool(ok) and _is_gray(probe)
         cap_in.set(cv2.CAP_PROP_POS_FRAMES, 0)
-    use_i420 = (transfer_format == "i420") and h % 2 == 0 and w % 2 == 0
+    even = h % 2 == 0 and w % 2 == 0
+    # the output luma here IS the decoded B&W luma (recover_clip_luma),
+    # so with the gray upload the host can reassemble frames from the
+    # downloaded chroma planes alone (0.5 B/px)
+    uv_ok = even and use_gray
+    tf = transfer_format
+    if tf == "auto":
+        tf = "uv420" if uv_ok else ("i420" if even else "rgb")
+    use_uv420 = tf == "uv420" and uv_ok
+    use_i420 = (tf == "i420" or (tf == "uv420" and not uv_ok)) and even
 
     if work_size is None:
         wh, ww = smart_resize_shape(w, h, render_speed)
@@ -584,11 +670,25 @@ def HAVC_restore_video_streaming(
         )
         colored_small = join_fn(work, ab)
         full = restore_fn(bw, colored_small)
-        out = np.asarray(to_i420(full) if use_i420 else to_u8(full))
-        for u8 in out:
-            writer.write(cv2.cvtColor(
-                u8, cv2.COLOR_YUV2BGR_I420 if use_i420 else cv2.COLOR_RGB2BGR))
-            written += 1
+        if use_uv420:
+            # chroma-only download; host Y = studio-swing map of its own
+            # decoded gray bytes (the output luma IS the input luma here)
+            uv = np.asarray(to_i420(full)[:, h:, :])
+            v = bw_u8[:t].astype(np.int32)
+            ystudio = ((900726 * v + (1 << 19) + (16 << 20)) >> 20
+                       ).astype(np.uint8)
+            for i in range(uv.shape[0]):
+                fr = np.concatenate([ystudio[i], uv[i]], axis=0)
+                writer.write(cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
+                written += 1
+        else:
+            out = np.asarray(to_i420(full) if use_i420 else to_u8(full))
+            for u8 in out:
+                writer.write(cv2.cvtColor(
+                    u8,
+                    cv2.COLOR_YUV2BGR_I420 if use_i420 else cv2.COLOR_RGB2BGR,
+                ))
+                written += 1
         if len(bw_u8) < n:
             break
     cap_in.release()

@@ -215,10 +215,10 @@ def test_restore_video_streaming_exemplar(tmp_path):
 
 def test_streaming_gray_auto_and_i420(tmp_path, monkeypatch):
     """Transfer knobs: (a) the auto probe must select the luma upload for
-    an exactly-gray source; (b) default (gray+i420) output must match the
-    full-RGB transfer output to well under codec scale (the gray upload is
-    bit-identical; i420 only moves the encoder's own 4:2:0 subsample
-    before the link)."""
+    an exactly-gray source; (b) default (gray+uv420: chroma-only download,
+    host-side luma deflicker + reassembly) must match the full-RGB
+    transfer output to well under codec scale, and so must the
+    intermediate i420 mode."""
     from havc_tpu.io import stream as io_stream
 
     src = tmp_path / "in.mp4"
@@ -257,6 +257,15 @@ def test_streaming_gray_auto_and_i420(tmp_path, monkeypatch):
         str(src), str(out_rgb), Preset="fast", ColorModel="zhang(eccv16)",
         batch_size=8, chunk_size=8, gray_input=False, transfer_format="rgb",
     )
-    a, b = _read_video(out_def), _read_video(out_rgb)
+    out_i420 = tmp_path / "out_i420.mp4"
+    streaming.HAVC_main_streaming(
+        str(src), str(out_i420), Preset="fast", ColorModel="zhang(eccv16)",
+        batch_size=8, chunk_size=8, transfer_format="i420",
+    )
+    a, b, c = _read_video(out_def), _read_video(out_rgb), _read_video(out_i420)
     err = np.abs(a - b).mean()
-    assert err < 8e-3, f"gray+i420 vs rgb transfer diverged: {err:.4f}"
+    assert err < 8e-3, f"gray+uv420 vs rgb transfer diverged: {err:.4f}"
+    # uv420 vs i420: same chroma bytes, Y path differs only by the
+    # quantize-before-vs-after studio mapping (and gamut-clip pixels)
+    err2 = np.abs(a - c).mean()
+    assert err2 < 5e-3, f"uv420 vs i420 diverged: {err2:.4f}"
