@@ -105,14 +105,17 @@ def _bench_streaming_e2e(
     t0 = time.perf_counter()
     n = HAVC_main_streaming(tmp_in, tmp_out, Preset="medium")
     dt = time.perf_counter() - t0
+    from havc_tpu import streaming as _streaming
+
     return {
         "e2e_streaming_fps_1080p": round(n / dt, 2),
         "e2e_streaming_frames": int(n),
-        # default transfer: auto-gray upload (1 B/px, bit-identical for
-        # the exactly-gray B&W source) + I420 packed download (1.5 B/px,
-        # OpenCV-exact) + one-chunk write pipelining = 2.5 B/px on the
-        # link vs 6 for naive RGB both ways
-        "e2e_streaming_transfer": "gray+i420",
+        # default transfer resolves to gray upload (1 B/px, bit-identical
+        # for the exactly-gray B&W source) + chroma-only uv420 download
+        # (0.5 B/px: host owns the output luma in gray mode) + one-chunk
+        # write pipelining = 1.5 B/px on the link vs 6 for naive RGB both
+        # ways; record the mode the call actually selected
+        "e2e_streaming_transfer": _streaming.last_transfer() or "gray+uv420",
     }
 
 

@@ -58,7 +58,44 @@ from .ops import temporal as temporal_ops
 from .ops.resize import resize
 from .utils import cached_jit
 
-__all__ = ["HAVC_main_streaming", "HAVC_restore_video_streaming"]
+__all__ = ["HAVC_main_streaming", "HAVC_restore_video_streaming",
+           "last_transfer"]
+
+# observability: the transfer modes the LAST streaming call actually
+# selected (upload+download), e.g. "gray+uv420" — ``transfer_format=
+# 'auto'`` resolves per clip geometry/options, so callers (bench.py,
+# logs) read back the decision here rather than re-deriving the gate
+_LAST_TRANSFER: Optional[str] = None
+
+
+def last_transfer() -> Optional[str]:
+    """Upload+download modes selected by the most recent streaming call
+    (``None`` before any call), e.g. ``"gray+uv420"`` / ``"rgb+i420"``."""
+    return _LAST_TRANSFER
+
+
+def _resolve_transfer(transfer_format: str, even: bool, use_gray: bool,
+                      luma_retuned: bool = False):
+    """Resolve the download mode and record the selection.
+
+    ``uv420`` (chroma-only download, 0.5 B/px) is sound only when the
+    host OWNS the output luma: gray upload (host Y == stage luma
+    bit-exactly) and nothing retunes luma on device (BWTune/LUT).  An
+    explicit ``uv420`` request that fails the gate falls back to
+    ``i420`` (device-packed YUV420, 1.5 B/px) rather than erroring —
+    matching what ``auto`` would pick; odd geometries fall back to RGB
+    (I420 needs even dims).  Returns ``(use_uv420, use_i420)``.
+    """
+    uv_ok = even and use_gray and not luma_retuned
+    tf = transfer_format
+    if tf == "auto":
+        tf = "uv420" if uv_ok else ("i420" if even else "rgb")
+    use_uv420 = tf == "uv420" and uv_ok
+    use_i420 = (tf == "i420" or (tf == "uv420" and not uv_ok)) and even
+    global _LAST_TRANSFER
+    _LAST_TRANSFER = ("gray+" if use_gray else "rgb+") + (
+        "uv420" if use_uv420 else "i420" if use_i420 else "rgb")
+    return use_uv420, use_i420
 
 
 def _is_gray(bgr: np.ndarray, tol: int = 3) -> bool:
@@ -227,15 +264,10 @@ def HAVC_main_streaming(
     if w <= 0 or h <= 0:
         raise IOError(f"cannot read video geometry: {path_in}")
     even = h % 2 == 0 and w % 2 == 0
-    # uv420 needs the host to OWN the output luma: gray upload (host Y ==
-    # stage luma bit-exactly), no BWTune (it retunes luma on device), no
-    # LUT (it remaps luma and chroma jointly on device)
-    uv_ok = even and use_gray and bw_tune_id == 0 and LUT is None
-    tf = transfer_format
-    if tf == "auto":
-        tf = "uv420" if uv_ok else ("i420" if even else "rgb")
-    use_uv420 = tf == "uv420" and uv_ok
-    use_i420 = (tf == "i420" or (tf == "uv420" and not uv_ok)) and even
+    # BWTune retunes luma on device; a LUT remaps luma and chroma jointly
+    use_uv420, use_i420 = _resolve_transfer(
+        transfer_format, even, use_gray,
+        luma_retuned=bw_tune_id > 0 or LUT is not None)
     # device deflicker only when the tail stays on device; in uv420 mode
     # the (luma-only) deflicker runs on host Y planes instead
     dev_deflicker = EnableDeflicker and not use_uv420
@@ -549,13 +581,8 @@ def HAVC_restore_video_streaming(
     even = h % 2 == 0 and w % 2 == 0
     # the output luma here IS the decoded B&W luma (recover_clip_luma),
     # so with the gray upload the host can reassemble frames from the
-    # downloaded chroma planes alone (0.5 B/px)
-    uv_ok = even and use_gray
-    tf = transfer_format
-    if tf == "auto":
-        tf = "uv420" if uv_ok else ("i420" if even else "rgb")
-    use_uv420 = tf == "uv420" and uv_ok
-    use_i420 = (tf == "i420" or (tf == "uv420" and not uv_ok)) and even
+    # downloaded chroma planes alone (0.5 B/px); nothing retunes luma
+    use_uv420, use_i420 = _resolve_transfer(transfer_format, even, use_gray)
 
     if work_size is None:
         wh, ww = smart_resize_shape(w, h, render_speed)

@@ -269,3 +269,26 @@ def test_streaming_gray_auto_and_i420(tmp_path, monkeypatch):
     # quantize-before-vs-after studio mapping (and gamut-clip pixels)
     err2 = np.abs(a - c).mean()
     assert err2 < 5e-3, f"uv420 vs i420 diverged: {err2:.4f}"
+
+
+def test_transfer_mode_resolution():
+    """The pure transfer gate: uv420 only when the host owns the output
+    luma (even dims + gray upload + no device luma retune); explicit
+    requests that fail the gate fall back like auto; odd dims -> rgb."""
+    cases = [
+        # (tf, even, gray, retuned) -> (uv420, i420, last)
+        (("auto", True, True, False), (True, False, "gray+uv420")),
+        (("auto", True, True, True), (False, True, "gray+i420")),   # BWTune/LUT
+        (("auto", True, False, False), (False, True, "rgb+i420")),
+        (("auto", False, True, False), (False, False, "gray+rgb")),
+        (("uv420", True, True, False), (True, False, "gray+uv420")),
+        (("uv420", True, False, False), (False, True, "rgb+i420")),  # fallback
+        (("uv420", False, True, False), (False, False, "gray+rgb")),
+        (("i420", True, True, False), (False, True, "gray+i420")),
+        (("i420", False, False, False), (False, False, "rgb+rgb")),
+        (("rgb", True, True, False), (False, False, "gray+rgb")),
+    ]
+    for (tf, even, gray, retuned), (uv, i420, last) in cases:
+        got = streaming._resolve_transfer(tf, even, gray, retuned)
+        assert got == (uv, i420), (tf, even, gray, retuned, got)
+        assert streaming.last_transfer() == last, (tf, even, gray, retuned)
