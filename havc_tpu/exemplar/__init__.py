@@ -1013,6 +1013,7 @@ def remaster_propagate(
     future_frame_weight: float = 0.5,  # constants.py:74
     mesh=None,  # jax.sharding.Mesh: shard the window-group batch ('data')
     device_out: bool = False,  # return a DEVICE array (skip the host copy)
+    frame0: int = 0,  # global index of frames[0] (streaming chunks)
 ) -> np.ndarray:
     """Windowed 3D-CNN colorization (remaster_render.py:232-330): process
     ``length`` frames per forward against a SLIDING reference buffer.
@@ -1098,11 +1099,15 @@ def remaster_propagate(
 
     # window start per forward position (host-side; mirrors
     # ref_buffer_adjust's one-slot advance)
+    # ``frame0`` offsets the advance condition so a streaming chunk of a
+    # longer clip replays the SAME window schedule as the whole-clip run
+    # (ref_positions stay GLOBAL frame indices; refs may be a trimmed
+    # slice of the full reference list)
     win_starts = []
     ws = 0
     for st in range(0, T, length):
         if ref_positions is not None:
-            while (ws + S < R) and (st > ref_positions[ws + half_idx]):
+            while (ws + S < R) and (frame0 + st > ref_positions[ws + half_idx]):
                 ws += 1
         win_starts.append(ws)
 

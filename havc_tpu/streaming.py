@@ -37,8 +37,11 @@ device execution.
 
 Reference mapping: the VapourSynth frame graph evaluates lazily with a
 bounded frame cache (SURVEY L0); this is the TPU-native equivalent of that
-property for the classic path.  The exemplar path streams via the scan
-carry instead (exemplar.colormnet_propagate resume_state).
+property for the classic path.  ``HAVC_restore_video_streaming`` extends
+it to EVERY exemplar engine: ColorMNet streams via the scan carry
+(resume_state), Deep-Exemplar via the carried scene reference, and
+DeepRemaster via a bounded lookahead that replays the sliding
+past/future reference window exactly (see its docstring).
 """
 from __future__ import annotations
 
@@ -520,6 +523,7 @@ def HAVC_main_streaming(
     return written
 
 
+
 def HAVC_restore_video_streaming(
     path_in: str,
     path_ref: str,
@@ -533,36 +537,82 @@ def HAVC_restore_video_streaming(
     work_size: Optional[tuple] = None,
     gray_input="auto",
     transfer_format: str = "auto",
+    ex_model: int = 0,
+    render_vivid: bool = False,
+    frame_propagate: bool = True,
+    max_memory_frames: int = 0,
+    ref_freq: Optional[int] = None,
 ) -> int:
     """Exemplar restore as a bounded-memory stream (the streaming form of
-    HAVC_restore_video ex_model=0): a B&W video is re-colorized from a
-    synchronized colored reference video through the ColorMNet scan, whose
-    carry (``resume_state``) flows across chunks — chunked output is
-    BIT-CONSISTENT with the whole-clip scan (the guarantee pinned by
-    test_exemplar's chunked==whole test).
+    HAVC_restore_video): a B&W video is re-colorized from a synchronized
+    colored reference video through the chosen exemplar engine, with the
+    engine's recurrence carried across chunks so chunked output matches
+    the whole-clip path:
+
+    - ``ex_model=0`` (ColorMNet): the scan carry (``resume_state``) flows
+      across chunks — BIT-CONSISTENT with the whole-clip scan (the
+      guarantee pinned by test_exemplar's chunked==whole test).  The
+      reference's XML-RPC ColorMNet server holds its memory bank per
+      process instead (SURVEY 3.3); here the bank is the scan carry.
+    - ``ex_model=1`` (Deep-Exemplar): the driver pins the scene reference
+      (deepex/__init__.py:176) so frames are independent given their
+      scene's reference — the carry is the current scene's reference
+      frame, re-marked as the first frame of the next chunk.
+    - ``ex_model=2`` (DeepRemaster): the sliding past/future reference
+      window (remaster_render.ref_buffer_adjust:203-231) is replayed
+      exactly: a LOOKAHEAD cursor decodes the reference stream ahead of
+      the input just far enough to know the next ``ref_buffer_size``
+      scene-change references (bounded memory), and each chunk passes the
+      trimmed reference slice + global positions to
+      :func:`remaster_propagate` (``frame0``).  Periodic references every
+      ``ref_freq=10`` frames per the reference driver (DEF_MIN_FREQ,
+      constants.py:61).
+    - ``ex_model=3`` (Deep-CMnet hybrid): ColorMNet blended with
+      Deep-Exemplar (always vivid) at weight 0.3
+      (max(refmerge_weight[0], 0.3), __init__.py:1706-1721).
 
     Scene flags come from the reference stream: a frame is a reference
     when its mean absolute luma difference against the previous reference
     frame exceeds ``sc_threshold`` (SCDetect semantics, resumable across
-    chunk boundaries via the carried last frame).  Memory is
-    O(chunk) frames regardless of video length — the reference's
-    XML-RPC ColorMNet server holds its memory bank per process instead
-    (SURVEY 3.3); here the bank is the scan carry.
+    chunk boundaries via the carried last frame), or — with ``ref_freq``
+    > 1 — every ``ref_freq`` frames.  Memory is O(chunk +
+    ref_buffer_size) frames regardless of video length.
+
+    ``render_vivid``/``frame_propagate`` follow the engine semantics of
+    the in-memory path (HAVC_restore_video uses frame_propagate=False,
+    render_vivid=True; the streaming default keeps the historical
+    frame_propagate=True carry).  ``max_memory_frames`` bounds ColorMNet
+    long-term memory / sizes the DeepRemaster reference buffer.
     """
     import cv2
 
     from .exemplar import (
-        ColorMNetEngine,
+        DEF_VIVID_HUE_HIGH,
+        DEF_VIVID_HUE_LOW,
+        DEF_VIVID_SAT_HIGH,
+        DEF_VIVID_SAT_LOW,
         _get_engine,
         colormnet_propagate,
+        deepex_propagate,
         pad112_geometry,
+        remaster_propagate,
         resolve_engine_config,
         smart_resize_shape,
     )
+    from .ops.chroma import chroma_tweak
     from .ops.colorspace import lab_to_rgb, rgb_to_lab, luma as luma_of
     from .ops.resize import smart_resize_pad, smart_resize_restore
 
+    if ex_model not in (0, 1, 2, 3):
+        raise ValueError(
+            f"HAVC_restore_video_streaming: unsupported ex_model {ex_model}")
     engine_config = resolve_engine_config(engine_config)
+    if ref_freq is None:
+        # DeepRemaster needs periodic refs (DEF_MIN_FREQ, constants.py:61)
+        ref_freq = 10 if ex_model == 2 else 0
+    length = 2  # DeepRemaster frames per forward (remaster_render)
+    if ex_model == 2 and chunk_size % length:
+        chunk_size += 1  # keep chunk boundaries window-aligned
 
     cap_in = cv2.VideoCapture(path_in)
     cap_ref = cv2.VideoCapture(path_ref)
@@ -588,12 +638,6 @@ def HAVC_restore_video_streaming(
         wh, ww = smart_resize_shape(w, h, render_speed)
     else:
         wh, ww = work_size
-    # the engine runs at the reference's pad_divide_by(112) geometry (the
-    # 1/14 and 1/16 grids align); colormnet_propagate pads in
-    # normalized-LAB space and unpads the prediction back
-    ph, pw = pad112_geometry(wh, ww)[:2]
-    engine = _get_engine("colormnet", config=engine_config,
-                         work_size=(ph, pw))
 
     pad_fn = cached_jit(
         ("smart_resize_pad", wh, ww, h, w),
@@ -602,24 +646,62 @@ def HAVC_restore_video_streaming(
     from .ops.resize import smart_resize_pad as _srp
 
     _, pad_meta = _srp(jnp.zeros((1, h, w, 3), jnp.float32), wh, ww)
-    ref_ab_fn = cached_jit(
-        ("cm_ref_ab", wh, ww),
-        lambda: lambda x: jnp.clip(rgb_to_lab(x)[..., 1:3] / 110.0, -1.0, 1.0),
-    )
-    join_fn = cached_jit(
-        ("cm_join", wh, ww),
-        lambda: lambda fr, ab: jnp.clip(
-            lab_to_rgb(jnp.concatenate(
-                [rgb_to_lab(fr)[..., 0:1], ab * 110.0], axis=-1
-            )), 0.0, 1.0,
-        ),
-    )
     restore_fn = cached_jit(
         ("restore_full", h, w, tuple(pad_meta)),
         lambda: lambda hi, lo: recover_clip_luma(
             hi, smart_resize_restore(lo, pad_meta, "spline64")
         ),
     )
+
+    # --- engines + per-engine chunk runners ------------------------------
+    cm_engine = dx_engine = rm_engine = None
+    if ex_model in (0, 3):
+        # the engine runs at the reference's pad_divide_by(112) geometry
+        # (the 1/14 and 1/16 grids align); colormnet_propagate pads in
+        # normalized-LAB space and unpads the prediction back
+        ph, pw = pad112_geometry(wh, ww)[:2]
+        kw = dict(config=engine_config, work_size=(ph, pw))
+        if max_memory_frames > 0:
+            kw["max_mem"] = int(max_memory_frames)
+        cm_engine = _get_engine("colormnet", **kw)
+        ref_ab_fn = cached_jit(
+            ("cm_ref_ab", wh, ww),
+            lambda: lambda x: jnp.clip(
+                rgb_to_lab(x)[..., 1:3] / 110.0, -1.0, 1.0),
+        )
+        join_fn = cached_jit(
+            ("cm_join", wh, ww),
+            lambda: lambda fr, ab: jnp.clip(
+                lab_to_rgb(jnp.concatenate(
+                    [rgb_to_lab(fr)[..., 0:1], ab * 110.0], axis=-1
+                )), 0.0, 1.0,
+            ),
+        )
+    if ex_model in (1, 3):
+        dx_engine = _get_engine("deepex", speed=render_speed)
+        dx_to = cached_jit(
+            ("dx_resize", wh, ww, dx_engine.h, dx_engine.w),
+            lambda: lambda x: jnp.clip(
+                resize(x, dx_engine.h, dx_engine.w, "spline64"), 0.0, 1.0),
+        )
+        dx_back = cached_jit(
+            ("dx_back", dx_engine.h, dx_engine.w, wh, ww),
+            lambda: lambda x: jnp.clip(
+                resize(x, wh, ww, "spline64"), 0.0, 1.0),
+        )
+    if ex_model == 2:
+        rm_engine = _get_engine("remaster")
+        buf = int(max_memory_frames) if max_memory_frames > 0 else 20
+        vivid_pre = cached_jit(
+            ("vivid_pre",),
+            lambda: lambda x: chroma_tweak(
+                x, sat=DEF_VIVID_SAT_HIGH, hue=int(DEF_VIVID_HUE_LOW)),
+        )
+        vivid_post = cached_jit(
+            ("vivid_post",),
+            lambda: lambda x: chroma_tweak(
+                x, sat=DEF_VIVID_SAT_LOW, hue=int(DEF_VIVID_HUE_HIGH)),
+        )
 
     writer = cv2.VideoWriter(
         path_out, cv2.VideoWriter_fourcc(*codec), fps, (w, h))
@@ -647,61 +729,197 @@ def HAVC_restore_video_streaming(
         unit_to_u8 as to_u8,
     )
 
-    def _sc_scan(refs, last, has_last):
+    def _sc_scan(refs, last, has_last, n0):
         """Resumable SCDetect on device: mean |luma - last ref luma| >
-        threshold, sequential carry = the last REFERENCE frame's luma.
-        Only the (t,) bool flags come back to the host."""
+        threshold (plus the every-``ref_freq``-frames forcing when > 1),
+        sequential carry = the last REFERENCE frame's luma.  Only the
+        (t,) bool flags come back to the host."""
         lumas = luma_of(refs)
+        idx = jnp.arange(lumas.shape[0]) + n0
 
-        def step(carry, lu):
+        def step(carry, xs):
+            lu, n = xs
             prev, has = carry
             diff = jnp.abs(lu - prev).mean()
             flag = jnp.logical_or(~has, diff > sc_threshold)
+            if ref_freq > 1:
+                flag = jnp.logical_or(flag, n % ref_freq == 0)
             prev = jnp.where(flag, lu, prev)
             return (prev, jnp.logical_or(has, flag)), flag
 
-        (last, has_last), flags = jax.lax.scan(step, (last, has_last), lumas)
+        (last, has_last), flags = jax.lax.scan(
+            step, (last, has_last), (lumas, idx))
         return flags, last, has_last
 
-    sc_fn = cached_jit(("stream_sc_scan", wh, ww, sc_threshold, h, w),
-                       lambda: _sc_scan)
+    sc_fn = cached_jit(
+        ("stream_sc_scan", wh, ww, sc_threshold, h, w, ref_freq),
+        lambda: _sc_scan,
+    )
 
-    state = None
+    # --- engine carries ---------------------------------------------------
+    state = None  # ColorMNet scan carry
+    carry_ref = None  # DeepEx current-scene reference (device, (1,h,w,3))
     # carry of the resumable detector: the previous REFERENCE frame's luma
     last_ref_luma = jnp.zeros((h, w), jnp.float32)
     has_last = jnp.zeros((), bool)
+
+    def run_colormnet(work, work_refs, is_ref):
+        nonlocal state
+        ab, state = colormnet_propagate(
+            cm_engine, work, ref_ab_fn(work_refs), is_ref,
+            frame_propagate=frame_propagate, vivid=render_vivid,
+            resume_state=state, return_state=True, device_out=True,
+        )
+        return join_fn(work, ab)
+
+    def run_deepex(work, work_refs, is_ref, vivid):
+        nonlocal carry_ref
+        dxf, dxr = dx_to(work), dx_to(work_refs)
+        flags = np.asarray(is_ref, bool).copy()
+        if not flags[0]:
+            # mid-scene chunk start: condition frame 0 on the carried
+            # scene reference — per-frame outputs are independent given
+            # the scene ref, so this replays the whole-clip grouping
+            flags[0] = True
+            dxr = jnp.concatenate([carry_ref, dxr[1:]], axis=0)
+        out = deepex_propagate(
+            dx_engine, dxf, dxr, flags,
+            frame_propagate=frame_propagate, vivid=vivid, device_out=True,
+        )
+        li = int(np.nonzero(flags)[0][-1])
+        carry_ref = dxr[li:li + 1]
+        return dx_back(out)
+
+    # --- DeepRemaster lookahead reference scanner -------------------------
+    # decodes the REFERENCE stream ahead of the input cursor just far
+    # enough to know the next window of scene-change references; holds
+    # O(ref_buffer_size) work-res reference frames
+    ref_imgs: list = []  # device (wh, ww, 3) per found reference
+    ref_pos: list = []  # global frame index per found reference
+    ref_base = 0  # global ref index of ref_imgs[0]
+    ref_eof = False
+    ref_n = 0  # next reference-stream frame index to decode
+    ws = 0  # global sliding-window start (persistent across chunks)
+
+    def scan_more_refs(batch: int = 32):
+        nonlocal ref_eof, ref_n, last_ref_luma, has_last
+        fr = read_chunk(cap_ref, batch)
+        if fr is None:
+            ref_eof = True
+            return
+        rgb = from_u8(jnp.asarray(fr))
+        flags, last_ref_luma, has_last = sc_fn(
+            rgb, last_ref_luma, has_last, jnp.int32(ref_n))
+        f = np.asarray(flags)
+        if f.any():
+            if render_vivid:
+                # DeepRemaster pre-tweak on the references at FULL res
+                # (remaster/__init__.py:92-93), before the work resize
+                rgb = vivid_pre(rgb)
+            w_refs = pad_fn(rgb)
+            for i in np.nonzero(f)[0]:
+                ref_imgs.append(w_refs[int(i)])
+                ref_pos.append(ref_n + int(i))
+        ref_n += len(fr)
+        if len(fr) < batch:
+            ref_eof = True
+
+    def found_refs() -> int:
+        return ref_base + len(ref_pos)
+
+    def ensure_refs(k: int):
+        while found_refs() < k and not ref_eof:
+            scan_more_refs()
+
+    S = half_idx = 0
+    if ex_model == 2:
+        ensure_refs(buf)
+        S = min(buf, found_refs()) if ref_eof else buf
+        half_idx = max(round(S * (1.0 - 0.5)) - 1, 0)
+
+    def run_remaster(work, f0, t):
+        nonlocal ws, ref_base
+        ws0 = ws
+        # replay ref_buffer_adjust's advance for every window start in
+        # the chunk, decoding the reference stream ahead on demand — the
+        # exact whole-clip schedule with bounded lookahead
+        for st in range(f0, f0 + t, length):
+            while True:
+                ensure_refs(ws + S + 1)
+                if ref_eof and ws + S >= found_refs():
+                    break
+                if not (st > ref_pos[ws + half_idx - ref_base]):
+                    break
+                ws += 1
+        hi = min(ws + S, found_refs())
+        refs_sl = jnp.stack(ref_imgs[ws0 - ref_base: hi - ref_base])
+        pos_sl = np.asarray(ref_pos[ws0 - ref_base: hi - ref_base])
+        colored = remaster_propagate(
+            rm_engine, work, refs_sl, length=length,
+            ref_positions=pos_sl, ref_buffer_size=buf, frame0=f0,
+            device_out=True,
+        )
+        if render_vivid:
+            colored = vivid_post(colored)
+        # refs below the advanced window start are never read again
+        if ws > ref_base:
+            del ref_imgs[: ws - ref_base], ref_pos[: ws - ref_base]
+            ref_base = ws
+        return colored
+
     written = 0
+    frame0 = 0  # global index of the next input frame
     while count is None or written < count:
         n = chunk_size if count is None else min(chunk_size, count - written)
         bw_u8 = read_chunk(cap_in, n, gray=use_gray)
-        refs_u8 = read_chunk(cap_ref, n)
-        if bw_u8 is None or refs_u8 is None:
+        if bw_u8 is None:
             break
-        t = min(len(bw_u8), len(refs_u8))
-        bw = from_u8(jnp.asarray(bw_u8[:t]))
+        t = len(bw_u8)
+        if ex_model == 2:
+            # mirror the in-memory trim-to-min-length: never emit input
+            # frames past the reference stream's end
+            while not ref_eof and ref_n < frame0 + t:
+                scan_more_refs()
+            t = min(t, max(ref_n - frame0, 0))
+            if t <= 0:
+                break
+            refs_u8 = None
+        else:
+            refs_u8 = read_chunk(cap_ref, n)
+            if refs_u8 is None:
+                break
+            t = min(t, len(refs_u8))
+        bw_u8 = bw_u8[:t]
+        bw = from_u8(jnp.asarray(bw_u8))
         if use_gray:
             bw = gray_to_rgb(bw)
-        refs = from_u8(jnp.asarray(refs_u8[:t]))
-
-        # resumable scene detection on the reference stream (device scan)
-        flags, last_ref_luma, has_last = sc_fn(refs, last_ref_luma, has_last)
-        is_ref = np.asarray(flags)
-
         work = pad_fn(bw)
-        work_refs = pad_fn(refs)
-        ref_ab = ref_ab_fn(work_refs)
-        ab, state = colormnet_propagate(
-            engine, work, ref_ab, is_ref,
-            frame_propagate=True, resume_state=state, return_state=True,
-            device_out=True,
-        )
-        colored_small = join_fn(work, ab)
+
+        if ex_model == 2:
+            colored_small = run_remaster(work, frame0, t)
+        else:
+            refs = from_u8(jnp.asarray(refs_u8[:t]))
+            # resumable scene detection on the reference stream
+            flags, last_ref_luma, has_last = sc_fn(
+                refs, last_ref_luma, has_last, jnp.int32(frame0))
+            is_ref = np.asarray(flags)
+            work_refs = pad_fn(refs)
+            if ex_model == 0:
+                colored_small = run_colormnet(work, work_refs, is_ref)
+            elif ex_model == 1:
+                colored_small = run_deepex(work, work_refs, is_ref,
+                                           render_vivid)
+            else:  # 3: Deep-CMnet hybrid (__init__.py:1706-1721)
+                a = run_colormnet(work, work_refs, is_ref)
+                b = run_deepex(work, work_refs, is_ref, True)
+                colored_small = a * 0.7 + b * 0.3
+
         full = restore_fn(bw, colored_small)
         if use_uv420:
             # chroma-only download; host Y = studio-swing map of its own
             # decoded gray bytes (the output luma IS the input luma here)
             uv = np.asarray(to_i420(full)[:, h:, :])
-            v = bw_u8[:t].astype(np.int32)
+            v = bw_u8.astype(np.int32)
             ystudio = ((900726 * v + (1 << 19) + (16 << 20)) >> 20
                        ).astype(np.uint8)
             for i in range(uv.shape[0]):
@@ -716,7 +934,8 @@ def HAVC_restore_video_streaming(
                     cv2.COLOR_YUV2BGR_I420 if use_i420 else cv2.COLOR_RGB2BGR,
                 ))
                 written += 1
-        if len(bw_u8) < n:
+        frame0 += t
+        if t < n:
             break
     cap_in.release()
     cap_ref.release()

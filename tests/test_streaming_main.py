@@ -292,3 +292,48 @@ def test_transfer_mode_resolution():
         got = streaming._resolve_transfer(tf, even, gray, retuned)
         assert got == (uv, i420), (tf, even, gray, retuned, got)
         assert streaming.last_transfer() == last, (tf, even, gray, retuned)
+
+
+def _write_scene_pair(tmp_path, t=15, period=5, h=64, w=64, seed=7):
+    """B&W input + a colored reference whose tint (and luma) jumps every
+    ``period`` frames — each jump trips the streaming SC scan."""
+    src, ref = tmp_path / "in.mp4", tmp_path / "ref.mp4"
+    frames = _write_test_video(src, t=t, h=h, w=w, seed=seed)
+    tints = [np.array([1.3, 0.85, 0.7]), np.array([0.7, 1.0, 1.3]),
+             np.array([1.0, 1.25, 0.8])]
+    wr = cv2.VideoWriter(str(ref), cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                         (w, h))
+    for i, f in enumerate(frames):
+        k = (i // period) % len(tints)
+        gain = 0.6 + 0.4 * ((i // period) % 2)
+        tinted = np.clip(f * tints[k] * gain, 0, 1)
+        wr.write(cv2.cvtColor((tinted * 255).astype(np.uint8),
+                              cv2.COLOR_RGB2BGR))
+    wr.release()
+    return src, ref
+
+
+@pytest.mark.parametrize("ex_model,chunks,kw", [
+    (1, (5, 15), dict(render_speed="fast")),
+    (2, (6, 24), dict(max_memory_frames=4)),
+    (3, (5, 15), dict(render_speed="fast")),
+])
+def test_restore_video_streaming_engines(tmp_path, ex_model, chunks, kw):
+    """DeepEx / DeepRemaster / hybrid streaming: the engine carry (scene
+    reference, sliding ref window + lookahead, scan state) flows across
+    chunks, so chunked == whole to codec scale.  The remaster case uses a
+    4-slot buffer over ~6 references so the window actually slides and
+    the lookahead decode-ahead engages."""
+    t = max(chunks)
+    src, ref = _write_scene_pair(tmp_path, t=t, period=5)
+    outs = {}
+    for chunk in chunks:
+        out_path = tmp_path / f"out_{ex_model}_{chunk}.mp4"
+        n = streaming.HAVC_restore_video_streaming(
+            str(src), str(ref), str(out_path), chunk_size=chunk,
+            work_size=(32, 32), ex_model=ex_model, **kw,
+        )
+        assert n == t
+        outs[chunk] = _read_video(out_path)
+    err = np.abs(outs[chunks[0]] - outs[chunks[1]]).mean()
+    assert err < 5e-3, f"ex_model={ex_model} chunked stream diverged: {err:.4f}"
