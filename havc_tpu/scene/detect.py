@@ -24,6 +24,7 @@ frame props.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Optional
 
 import numpy as np
 import jax
@@ -32,7 +33,8 @@ import jax.numpy as jnp
 from ..ops.colorspace import luma
 from ..ops.resize import resize
 
-__all__ = ["SceneFlags", "SceneDetector", "scene_detect", "frame_stats"]
+__all__ = ["SceneFlags", "SceneDetector", "StreamSceneDetector",
+           "scene_detect", "frame_stats"]
 
 # Reference constants (vsslib/constants.py).
 DEF_THRESHOLD = 0.10
@@ -137,6 +139,20 @@ def _normalize_luma(gray: jnp.ndarray, tht_black: float = 0.19,
     return jnp.where(gate, stretched, gray)
 
 
+def _gray_maps(frames, normalize: bool = False) -> jnp.ndarray:
+    """RGB frames -> downscaled (optionally normalized) gray maps, the
+    shared device front of :func:`frame_stats` and the streaming
+    detector."""
+    x = jnp.asarray(frames)
+    gray = luma(x)
+    h, w = gray.shape[-2], gray.shape[-1]
+    nh, nw = _work_size(h, w)
+    gray_small = resize(gray[..., None], nh, nw, "bicubic")[..., 0]
+    if normalize:
+        gray_small = _normalize_luma(gray_small)
+    return gray_small
+
+
 def frame_stats(frames: np.ndarray, offset: int = 1, normalize: bool = False,
                 need_maps: bool = True):
     """Device phase: returns (gray_small[T,h,w], luma[T], diff[T], hist[T,256]).
@@ -147,13 +163,7 @@ def frame_stats(frames: np.ndarray, offset: int = 1, normalize: bool = False,
     only consumed by the SSIM/Hellinger second pass) and returns ``None``
     in their slots — per-frame scalars are the whole download then.
     """
-    x = jnp.asarray(frames)
-    gray = luma(x)
-    h, w = gray.shape[-2], gray.shape[-1]
-    nh, nw = _work_size(h, w)
-    gray_small = resize(gray[..., None], nh, nw, "bicubic")[..., 0]
-    if normalize:
-        gray_small = _normalize_luma(gray_small)
+    gray_small = _gray_maps(frames, normalize)
     lumas, diffs, hists = _stats_kernel(gray_small, jnp.asarray(offset))
     if not need_maps:
         return None, np.asarray(lumas), np.asarray(diffs), None
@@ -238,17 +248,21 @@ class SceneDetector:
             })
 
     # -- first pass: adaptive-ratio custom detector (vsscdect.py:281-342) --
-    def _custom_pass(self, lumas, diffs, min_length) -> tuple:
+    def _custom_pass(self, lumas, diffs, min_length, n0: int = 0,
+                     state: Optional[tuple] = None) -> tuple:
+        """``n0``/``state`` make the sequential loop RESUMABLE for the
+        streaming detector: ``state`` is the ``(prev_diff, last_ref,
+        ref_luma)`` carry at global frame ``n0`` (frame indices in the
+        carry are global).  Returns ``(sc, ratios, state)``."""
         T = len(lumas)
         sc = np.zeros(T, dtype=np.int8)
         ratios = np.zeros(T, dtype=np.float32)
-        prev_diff = 0.0
-        last_ref = None
-        ref_luma = 0.0
-        for n in range(T):
-            f_luma = round(float(lumas[n]), 4)
+        prev_diff, last_ref, ref_luma = state or (0.0, None, 0.0)
+        for i in range(T):
+            n = n0 + i
+            f_luma = round(float(lumas[i]), 4)
             f_bright = DEF_THT_BLACK_MIN <= f_luma <= DEF_THT_WHITE_MIN
-            n_diff = round(max(float(diffs[n]), 0.0001), 5)
+            n_diff = round(max(float(diffs[i]), 0.0001), 5)
             if n == 0 or last_ref is None:
                 is_sc = True
                 prev_diff = n_diff
@@ -268,48 +282,54 @@ class SceneDetector:
                 is_sc = is_sc or ratio > DEF_ADAPTIVE_RATIO_VHI
                 is_sc = is_sc or (ref_luma < DEF_THT_BLACK_MIN and f_bright)
                 is_sc = is_sc and self.tht_black < f_luma < self.tht_white
-            ratios[n] = ratio
+            ratios[i] = ratio
             if is_sc:
                 last_ref = n
                 ref_luma = f_luma
-                sc[n] = 1
-        return sc, ratios
+                sc[i] = 1
+        return sc, ratios, (prev_diff, last_ref, ref_luma)
 
     # -- first pass: plain threshold detector + black/white filter
     #    (misc.SCDetect analog + vsscdect.filter_black_white) --
-    def _simple_pass(self, lumas, diffs) -> tuple:
+    def _simple_pass(self, lumas, diffs, n0: int = 0) -> tuple:
+        """Stateless given the global offset ``n0`` (streaming chunks)."""
         T = len(lumas)
         sc = np.zeros(T, dtype=np.int8)
         ratios = np.zeros(T, dtype=np.float32)
-        for n in range(T):
-            f_luma = round(float(lumas[n]), 4)
-            is_sc = n == 0 or float(diffs[n]) > self.threshold
+        for i in range(T):
+            n = n0 + i
+            f_luma = round(float(lumas[i]), 4)
+            is_sc = n == 0 or float(diffs[i]) > self.threshold
             if self.frequency > 1:
                 is_sc = is_sc or (n % self.frequency == 0)
             if n == 0:
-                sc[n] = 1
+                sc[i] = 1
             elif is_sc and self.tht_black < f_luma < self.tht_white:
-                sc[n] = 1
+                sc[i] = 1
         return sc, ratios
 
     # -- second pass: SSIM + histogram confirmation (vsscdect.py:352-495) --
-    def _filter_pass(self, sc, lumas, ratios, grays, hists, min_length):
+    def _filter_pass(self, sc, lumas, ratios, grays, hists, min_length,
+                     n0: int = 0, state: Optional[tuple] = None):
+        """``n0``/``state`` make the confirmation loop RESUMABLE: the
+        state is ``(last_index, prev_y, prev_hist, prev_luma)`` — the
+        last ACCEPTED reference's global index, gray map, histogram and
+        luma.  Returns ``(out, state)``."""
         T = len(sc)
         out = np.zeros(T, dtype=np.int8)
-        last_index = None
-        prev_y = None
-        prev_hist = None
-        prev_luma = 0.0
+        last_index, prev_y, prev_hist, prev_luma = (
+            state or (None, None, None, 0.0))
         tht_ssim = self.sc_tht_filter
-        for n in range(T):
-            luma_n = float(lumas[n])
-            is_sc = sc[n] == 1 or n == 0
+        for i in range(T):
+            n = n0 + i
+            luma_n = float(lumas[i])
+            is_sc = sc[i] == 1 or n == 0
             if is_sc and last_index is None:
-                out[n] = 1
+                out[i] = 1
                 self._record("New", n, last_index, -1, -1, luma_n, 1)
                 last_index = n
-                prev_y = grays[n]
-                prev_hist = hists[n]
+                prev_y = grays[i]
+                prev_hist = hists[i]
                 prev_luma = luma_n
                 continue
             if not is_sc:
@@ -325,14 +345,14 @@ class SceneDetector:
                 scene_change = self.tht_black < luma_n < self.tht_white
                 sc_reason = (sc_reason + 1) if scene_change else 0
             else:
-                ssim_score = round(_ssim_uniform(grays[n], prev_y), 4)
-                hist_score = round(1.0 - _hellinger(prev_hist, hists[n]), 4)
+                ssim_score = round(_ssim_uniform(grays[i], prev_y), 4)
+                hist_score = round(1.0 - _hellinger(prev_hist, hists[i]), 4)
                 if ssim_score < tht_ssim and hist_score < DEF_HIST_SCORE_HIGH:
                     scene_change = self.tht_black < luma_n < self.tht_white
                     if scene_change and sc_reason == 0 and self.frequency > 1:
                         scene_change = not (
                             luma_n < DEF_THT_BLACK_FREQ
-                            and ratios[n] < DEF_ADAPTIVE_RATIO_RF
+                            and ratios[i] < DEF_ADAPTIVE_RATIO_RF
                         )
                     sc_reason = (sc_reason + 1) if scene_change else 0
                 elif (
@@ -351,17 +371,17 @@ class SceneDetector:
                     scene_change = False
                     sc_reason = 0
             if scene_change:
-                out[n] = 1
+                out[i] = 1
                 self._record("New", n, last_index, ssim_score, hist_score,
                              luma_n, sc_reason)
                 last_index = n
-                prev_y = grays[n]
-                prev_hist = hists[n]
+                prev_y = grays[i]
+                prev_hist = hists[i]
                 prev_luma = luma_n
             else:
                 self._record("Skip", n, last_index, ssim_score, hist_score,
                              luma_n, sc_reason)
-        return out
+        return out, (last_index, prev_y, prev_hist, prev_luma)
 
     def detect(self, frames: np.ndarray) -> SceneFlags:
         T = len(frames)
@@ -381,14 +401,16 @@ class SceneDetector:
         )
         if use_custom:
             if 0.0 < self.sc_tht_filter < 1.0 or m_length > 1:
-                sc, ratios = self._custom_pass(lumas, diffs, m_length)
+                sc, ratios, _ = self._custom_pass(lumas, diffs, m_length)
             else:
-                sc, ratios = self._custom_pass(lumas, diffs, DEF_SC_MIN_DISTANCE)
+                sc, ratios, _ = self._custom_pass(lumas, diffs,
+                                                  DEF_SC_MIN_DISTANCE)
         else:
             sc, ratios = self._simple_pass(lumas, diffs)
 
         if 0.0 < self.sc_tht_filter < 1.0 or m_length > 1:
-            sc = self._filter_pass(sc, lumas, ratios, grays, hists, m_length)
+            sc, _ = self._filter_pass(sc, lumas, ratios, grays, hists,
+                                      m_length)
 
         return SceneFlags(
             sc_prev=sc,
@@ -439,3 +461,88 @@ def scene_detect(
                 ", ScReason= ", r["reason"],
             )
     return flags
+
+
+class StreamSceneDetector:
+    """RESUMABLE SceneDetector: feed frames chunk by chunk and get the
+    exact flags ``SceneDetector.detect`` would produce on the
+    concatenation — the full vsscdect semantics (adaptive ratio, luma
+    gates, frequency forcing, SSIM/Hellinger confirmation) for
+    feature-length streams in O(chunk) memory.
+
+    Carries across chunks: the ``tht_offset`` lag window of gray maps
+    (device-resident), the adaptive-ratio state ``(prev_diff, last_ref,
+    ref_luma)``, and the confirmation state (last ACCEPTED reference's
+    gray map / histogram / luma).  The device stats phase runs once per
+    chunk."""
+
+    def __init__(self, threshold: float = DEF_THRESHOLD, frequency: int = 0,
+                 sc_tht_filter: float = 0.0, min_length: int = 1,
+                 tht_white: float = DEF_THT_WHITE,
+                 tht_black: float = DEF_THT_BLACK, tht_offset: int = 1,
+                 normalize: bool = False, debug: bool = False):
+        self.det = SceneDetector(
+            threshold=threshold, frequency=frequency,
+            sc_tht_filter=sc_tht_filter, min_length=min_length,
+            tht_white=tht_white, tht_black=tht_black,
+            tht_offset=tht_offset, normalize=normalize, debug=debug,
+        )
+        # same clamps as SceneDetector.detect
+        self.t_offset = min(max(tht_offset, 1), 25)
+        self.m_length = min(max(min_length, 1), 25)
+        self.need_maps = 0.0 < sc_tht_filter < 1.0 or self.m_length > 1
+        self.use_custom = (
+            sc_tht_filter > 0.0 or threshold < 0.10 or self.t_offset > 1
+        )
+        self.n0 = 0  # global index of the next fed frame
+        self._tail = None  # last min(n0, t_offset) gray maps (device)
+        self._custom_state = None
+        self._filter_state = None
+
+    def feed(self, frames) -> np.ndarray:
+        """Detect over the next chunk; returns (t,) int8 flags."""
+        det = self.det
+        T = len(frames)
+        n0 = self.n0
+        self.n0 += T
+        # trivial modes (SceneDetector.detect head), at global indices
+        if det.threshold == 0 and det.frequency == 0:
+            sc = np.zeros(T, dtype=np.int8)
+            if n0 == 0 and T:
+                sc[0] = 1
+            return sc
+        if det.frequency == 1 or (det.threshold == 0 and det.frequency > 1):
+            freq = max(det.frequency, 1)
+            sc = ((np.arange(n0, n0 + T) % freq) == 0).astype(np.int8)
+            if n0 == 0 and T:
+                sc[0] = 1
+            return sc
+
+        gray_small = _gray_maps(frames, det.normalize)
+        k = 0
+        if self._tail is not None:
+            # prepend the lag window so diffs[i] compares against the
+            # right GLOBAL frame; clip-to-0 at the true clip start is
+            # reproduced because the tail is only min(n0, offset) deep
+            k = int(self._tail.shape[0])
+            gray_small = jnp.concatenate([self._tail, gray_small], axis=0)
+        lumas_d, diffs_d, hists_d = _stats_kernel(
+            gray_small, jnp.asarray(self.t_offset))
+        lumas = np.asarray(lumas_d)[k:]
+        diffs = np.asarray(diffs_d)[k:]
+        keep = min(self.t_offset, int(gray_small.shape[0]))
+        self._tail = gray_small[-keep:]
+
+        if self.use_custom:
+            ml = self.m_length if self.need_maps else DEF_SC_MIN_DISTANCE
+            sc, ratios, self._custom_state = det._custom_pass(
+                lumas, diffs, ml, n0=n0, state=self._custom_state)
+        else:
+            sc, ratios = det._simple_pass(lumas, diffs, n0=n0)
+        if self.need_maps:
+            grays = np.asarray(gray_small)[k:]
+            hists = np.asarray(hists_d)[k:]
+            sc, self._filter_state = det._filter_pass(
+                sc, lumas, ratios, grays, hists, self.m_length,
+                n0=n0, state=self._filter_state)
+        return sc

@@ -127,3 +127,32 @@ def test_hellinger_matches_cv2():
     h2 = rng.random(256).astype(np.float32)
     ref = cv2.compareHist(h1, h2, cv2.HISTCMP_HELLINGER)
     assert abs(_hellinger(h1, h2) - ref) < 1e-4
+
+
+@pytest.mark.parametrize("params", [
+    dict(threshold=0.10),                                   # simple pass
+    dict(threshold=0.08, tht_offset=3),                     # custom pass
+    dict(threshold=0.10, sc_tht_filter=0.55, min_length=5), # + filter pass
+    dict(threshold=0.10, frequency=7, sc_tht_filter=0.55),  # freq forcing
+    dict(threshold=0.0),                                    # trivial: first
+    dict(threshold=0.0, frequency=4),                       # trivial: every 4
+    dict(threshold=0.10, normalize=True, min_length=3),
+])
+@pytest.mark.parametrize("chunk", [5, 9])
+def test_stream_detector_matches_whole(params, chunk):
+    """StreamSceneDetector fed in chunks must reproduce the whole-clip
+    SceneDetector flags exactly — every pass (adaptive ratio, luma gates,
+    frequency, SSIM/Hellinger confirmation, tht_offset lag window) carries
+    its state across chunk boundaries."""
+    from havc_tpu.scene.detect import StreamSceneDetector
+
+    frames = make_clip(
+        [(8, 0.4), (6, 0.75), (3, 0.05), (9, 0.55), (4, 0.3), (7, 0.65)],
+        noise=0.02, seed=3,
+    )
+    whole = SceneDetector(**params).detect(frames).sc_prev
+    sd = StreamSceneDetector(**params)
+    got = np.concatenate([
+        sd.feed(frames[i:i + chunk]) for i in range(0, len(frames), chunk)
+    ])
+    np.testing.assert_array_equal(got, whole)
