@@ -266,13 +266,49 @@ def run_child():
             jax.block_until_ready((fr, rab))
             is_ref = np.zeros(T, bool)
             is_ref[0] = True
-            colormnet_propagate(eng, fr, rab, is_ref)  # compile
+            # device_out keeps the timing consistent with the DeepEx /
+            # DeepRemaster numbers below (engine throughput, not the
+            # tunnel's ~30 MB/s download of the (T,H,W,2) f32 output —
+            # that transfer alone costs ~0.4 s for T=16 here)
+            out = colormnet_propagate(eng, fr, rab, is_ref,
+                                      device_out=True)  # compile
+            jax.block_until_ready(out)
             t0 = time.perf_counter()
-            colormnet_propagate(eng, fr, rab, is_ref)
+            out = colormnet_propagate(eng, fr, rab, is_ref, device_out=True)
+            jax.block_until_ready(out)
             dt = time.perf_counter() - t0
             extra["colormnet_fps_224x448"] = round(T / dt, 2)
         except Exception as e:  # noqa: BLE001 - secondary metric only
             extra["colormnet_error"] = f"{type(e).__name__}: {e}"[:160]
+
+        # secondary metric (fail-soft): ColorMNet THROUGHPUT mode — the
+        # scene-batched scan (vivid semantics make scenes independent, so
+        # the sequential T-step scan becomes a vmapped S-scene scan).
+        # This is the TPU-native answer to the engine's latency floor.
+        try:
+            from havc_tpu.exemplar import colormnet_propagate_scenes
+
+            S, L = 4, 8  # 4 scenes x 8 frames = 32 frames per call
+            fr_s = jax.device_put(jnp.asarray(
+                rng2.random((S * L, 224, 448, 3), dtype=np.float32)))
+            rab_s = jax.device_put(jnp.asarray(
+                rng2.random((S * L, 224, 448, 2), dtype=np.float32) * 2 - 1))
+            jax.block_until_ready((fr_s, rab_s))
+            is_ref_s = np.zeros(S * L, bool)
+            is_ref_s[::L] = True
+            out = colormnet_propagate_scenes(
+                eng, fr_s, rab_s, is_ref_s, device_out=True)  # compile
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            out = colormnet_propagate_scenes(
+                eng, fr_s, rab_s, is_ref_s, device_out=True)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            extra["colormnet_sceneparallel_fps_224x448"] = round(
+                (S * L) / dt, 2)
+        except Exception as e:  # noqa: BLE001 - secondary metric only
+            extra["colormnet_sceneparallel_error"] = (
+                f"{type(e).__name__}: {e}"[:160])
 
         # secondary metric (fail-soft): END-TO-END streaming fps on REAL
         # footage at 1080p — decode (cv2) -> full classic pipeline ->

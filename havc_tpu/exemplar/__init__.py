@@ -653,6 +653,7 @@ def colormnet_propagate_scenes(
     ref_frames: Optional[np.ndarray] = None,
     frame_propagate: bool = True,
     mesh=None,            # jax.sharding.Mesh with a 'data' axis: shard scenes
+    device_out: bool = False,  # return the (T, fh, fw, 2) ab ON DEVICE
 ):
     """Scene-PARALLEL vivid-mode propagation: the TPU-native scale-out of
     the exemplar engine.
@@ -774,12 +775,23 @@ def colormnet_propagate_scenes(
         )
         _, ab_s = scan_vm(params, carry0_s, xs_s)
 
-    # reassemble: (S_pad, L, H, W, 2) -> (T, fh, fw, 2)
-    ab_s = np.asarray(ab_s, np.float32)[:, :, lh : lh + fh, lw : lw + fw]
-    out = np.empty((T, fh, fw, 2), np.float32)
+    # reassemble ON DEVICE: (S_pad, L, H, W, 2) -> (T, fh, fw, 2) via one
+    # flat gather (out_idx maps each clip frame to its scene row/col),
+    # so host download — when asked for at all — is a single (T,...)
+    # transfer instead of per-scene slices, and device_out pipelines keep
+    # the result resident (the tunnel download otherwise dominates the
+    # scan itself at small geometries)
+    ab_s = ab_s.astype(jnp.float32)[:, :, lh : lh + fh, lw : lw + fw]
+    out_idx = np.empty(T, np.int64)
     for si in range(S):
-        out[bounds[si] : bounds[si + 1]] = ab_s[si, : lengths[si]]
-    return out
+        out_idx[bounds[si] : bounds[si + 1]] = si * L + np.arange(lengths[si])
+    out = jnp.take(
+        ab_s.reshape((S_pad * L,) + ab_s.shape[2:]),
+        jnp.asarray(out_idx), axis=0,
+    )
+    if device_out:
+        return out
+    return np.asarray(out, np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -73,6 +73,24 @@ class TestSceneParallel:
                                          frame_propagate=False)
         np.testing.assert_allclose(par, seq, atol=2e-5, rtol=1e-4)
 
+    def test_device_out_matches_host(self, engine, rng):
+        """device_out=True returns the SAME (T, fh, fw, 2) ab as the host
+        path, as a device array (streaming joins keep it resident — the
+        tunnel download otherwise dominates at small geometry)."""
+        import jax as _jax
+
+        T = 9
+        frames, ref_ab = _clip(rng, T, 64, 112)
+        is_ref = np.zeros(T, bool)
+        is_ref[[0, 5]] = True
+
+        host = colormnet_propagate_scenes(engine, frames, ref_ab, is_ref)
+        dev = colormnet_propagate_scenes(engine, frames, ref_ab, is_ref,
+                                         device_out=True)
+        assert isinstance(dev, _jax.Array)
+        assert dev.shape == (T, 64, 112, 2)
+        np.testing.assert_allclose(np.asarray(dev), host, atol=1e-6)
+
     def test_requires_leading_ref(self, engine, rng):
         frames, ref_ab = _clip(rng, 4, 64, 112)
         is_ref = np.zeros(4, bool)
