@@ -681,7 +681,8 @@ def colormnet_propagate_scenes(
     is_ref = np.asarray(is_ref).astype(bool)
     T = int(frames.shape[0])
     if T == 0:
-        return np.zeros_like(np.asarray(ref_ab, np.float32))
+        empty = np.zeros_like(np.asarray(ref_ab, np.float32))
+        return jnp.asarray(empty) if device_out else empty
     if not is_ref[0]:
         raise ValueError(
             "colormnet_propagate_scenes: is_ref[0] must be True (every "
@@ -837,6 +838,7 @@ def deepex_propagate(
     batch_size: int = 4,
     mesh=None,  # jax.sharding.Mesh: shard the frame batch ('data')
     device_out: bool = False,  # return a DEVICE array (skip the host copy)
+    temperature: float = 1e-10,  # warp softmax temperature (driver default)
 ) -> np.ndarray:
     """Reference-conditioned colorization (deepex/__init__.py:46-263).
 
@@ -847,7 +849,11 @@ def deepex_propagate(
     scan, the reference side (VGG + WarpNet encode) is computed once per
     scene and the scene's frames run in MXU-friendly batches.
 
-    * warp temperature 1e-10 (driver call, deepex/__init__.py:172).
+    * warp ``temperature`` defaults to 1e-10 (the driver call,
+      deepex/__init__.py:172 — effectively a hard argmax over
+      correspondences); ``warp_color``'s own default 0.01 gives the smooth
+      softmax (useful for seeded-random-weight fidelity gates, where the
+      argmax flips on near-tied scores).
     * ``I_last_lab_predict`` = scene reference LAB (``frame_propagate``) or
       centered zeros == raw LAB (50,0,0).
     * ``vivid`` multiplies predicted ab by 1.25 before WLS smoothing.
@@ -881,13 +887,13 @@ def deepex_propagate(
         repl_sh = NamedSharding(mesh, PartitionSpec())
         step_base = cached_jit(
             ("deepex_step_mesh", engine.h, engine.w, batch_size,
-             tuple(sorted(mesh.shape.items()))),
+             temperature, tuple(sorted(mesh.shape.items()))),
             lambda: jax.jit(
                 lambda params, a_lab, ib_lab, last_lab, b_feat:
                     dx.frame_colorization_batched(
                         params[0], params[1], params[2], a_lab, ib_lab,
                         last_lab, b_feat, engine.vgg, engine.warp,
-                        engine.color, temperature=1e-10,
+                        engine.color, temperature=temperature,
                     ),
                 in_shardings=(repl_sh, frame_sh, repl_sh, repl_sh, repl_sh),
                 out_shardings=frame_sh,
@@ -907,12 +913,12 @@ def deepex_propagate(
             )
     else:
         step = cached_jit(
-            ("deepex_step", engine.h, engine.w, batch_size),
+            ("deepex_step", engine.h, engine.w, batch_size, temperature),
             lambda: lambda params, a_lab, ib_lab, last_lab, b_feat:
                 dx.frame_colorization_batched(
                     params[0], params[1], params[2], a_lab, ib_lab, last_lab,
                     b_feat, engine.vgg, engine.warp, engine.color,
-                    temperature=1e-10,
+                    temperature=temperature,
                 ),
         )
     params = (engine.p_vgg, engine.p_warp, engine.p_color)

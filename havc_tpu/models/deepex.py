@@ -22,8 +22,10 @@ deepex/models/ColorVidNet.py:6-146, deepex/models/FrameColor.py:5-67
 Sizes follow deepex.get_deepex_size (fast 144x256 / medium 216x384 /
 slow 288x512 / slower 360x640).  The WLS edge-aware post-smoother of the
 reference (cv2.ximgproc FastGlobalSmoother, lambda=500 sigma=4) is
-approximated by a guided filter on the ab channels (ops-level, see
-``guided_filter_ab``) — SURVEY.md hard-part #6.
+implemented for real in ``ops/fgs.py`` (separable Thomas-solver Fast
+Global Smoother, numpy-oracle tested) and is what the exemplar pipeline
+applies (``exemplar/__init__.py`` deepex path); a cheaper guided filter
+(``guided_filter_ab``) remains available as an opt-in fast path.
 """
 from __future__ import annotations
 

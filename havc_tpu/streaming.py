@@ -201,6 +201,8 @@ def HAVC_main_streaming(
     codec: str = "mp4v",
     gray_input="auto",
     transfer_format: str = "auto",
+    pipeline_depth: int = 3,
+    sink: str = "video",
 ) -> int:
     """Classic HAVC_main as a bounded-memory stream; returns frames written.
 
@@ -231,6 +233,19 @@ def HAVC_main_streaming(
       OpenCV-exact BT.601 studio-swing; the mp4 encoder subsamples chroma
       to 4:2:0 anyway).  ``"rgb"`` downloads full RGB uint8 (exactly the
       in-memory pipeline's pre-encode frames).
+    - ``pipeline_depth``: how many packed output chunks may be in flight
+      on the download/write path before the oldest is drained.  Depth 1
+      is the classic one-chunk-behind overlap; on a high-latency or
+      drifting link (the tunneled dev chip runs 4-13 MB/s down) deeper
+      pipelining keeps several async downloads outstanding so transfer
+      latency hides behind compute.  Memory cost: ``depth`` packed chunks
+      (uint8) on host+device.
+    - ``sink``: measurement hooks that keep the COMPUTE path identical.
+      ``"video"`` (default) encodes to ``path_out``; ``"null"`` performs
+      the full device->host download but skips the cv2 encode/write
+      (isolates encoder cost); ``"device"`` leaves every packed chunk on
+      device and syncs on a 1-pixel fetch only (isolates the download
+      leg — this is the pipeline-only fps artifact, see bench.py).
     """
     import cv2
 
@@ -356,9 +371,15 @@ def HAVC_main_streaming(
         lambda: restore_chunk,
     )
 
-    writer = cv2.VideoWriter(path_out, cv2.VideoWriter_fourcc(*codec), fps, (w, h))
-    if not writer.isOpened():
-        raise IOError(f"cannot open video writer: {path_out}")
+    if sink not in ("video", "null", "device"):
+        raise ValueError(f"HAVC_main_streaming: unknown sink {sink!r}")
+    writer = None
+    if sink == "video":
+        writer = cv2.VideoWriter(
+            path_out, cv2.VideoWriter_fourcc(*codec), fps, (w, h))
+        if not writer.isOpened():
+            raise IOError(f"cannot open video writer: {path_out}")
+    pipeline_depth = max(int(pipeline_depth), 1)
 
     written = 0
     # rolling buffers: original LUMA planes (full res, post-BWTune) +
@@ -412,35 +433,46 @@ def HAVC_main_streaming(
         v = np.rint(cur * 255.0).astype(np.int32)
         return ((900726 * v + (1 << 19) + (16 << 20)) >> 20).astype(np.uint8)
 
-    # one-chunk write pipeline: the device array for chunk N is fetched
-    # and encoded on the host WHILE chunk N+1's compute is in flight
-    # (JAX async dispatch) — host encode overlaps device compute and the
-    # down-transfer of the previous chunk.
+    # pipelined write path: up to ``pipeline_depth`` packed device chunks
+    # stay in flight — their async downloads overlap both later chunks'
+    # compute and the host encode.  _drain(keep) retires the oldest
+    # chunks down to ``keep`` outstanding.
     pending: list = []
 
-    def _drain():
+    def _write_chunk(dev, start, ready):
         nonlocal written, y_base
-        while pending:
-            dev, start, ready = pending.pop(0)
-            host = np.asarray(dev)
-            if use_uv420:
-                ystudio = _host_y_window(start, ready)
-                for i in range(ready):
+        if sink == "device":
+            # sync without downloading: fetching one pixel forces the
+            # chunk's program to complete (block_until_ready alone can
+            # return early on the axon platform, bench.py:13-20)
+            np.asarray(dev.reshape(-1)[:1])
+            written += ready
+            return
+        host = np.asarray(dev)
+        if use_uv420:
+            ystudio = _host_y_window(start, ready)
+            for i in range(ready):
+                if writer is not None:
                     fr = np.concatenate([ystudio[i], host[i]], axis=0)
                     writer.write(cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
-                    written += 1
-                # retain one past Y plane for the next chunk's deflicker
-                keep_from = start + ready - 1
-                if keep_from > y_base:
-                    del y_host[: keep_from - y_base]
-                    y_base = keep_from
-                continue
-            for fr in host:
+                written += 1
+            # retain one past Y plane for the next chunk's deflicker
+            keep_from = start + ready - 1
+            if keep_from > y_base:
+                del y_host[: keep_from - y_base]
+                y_base = keep_from
+            return
+        for fr in host:
+            if writer is not None:
                 if use_i420:
                     writer.write(cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
                 else:
                     writer.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
-                written += 1
+            written += 1
+
+    def _drain(keep: int = 0):
+        while len(pending) > keep:
+            _write_chunk(*pending.pop(0))
 
     def emit(orig_ctx, work_ctx, ready):
         """orig/work with halo_d frames of context each side; the restore
@@ -456,14 +488,16 @@ def HAVC_main_streaming(
             dev = to_i420(out)
         else:
             dev = to_u8(out)
-        try:
-            # start the device->host copy as soon as the chunk is packed:
-            # it then overlaps the next chunk's compute and the host IO
-            dev.copy_to_host_async()
-        except AttributeError:
-            pass
-        _drain()  # write the previous chunk while this one computes
+        if sink != "device":
+            try:
+                # start the device->host copy as soon as the chunk is
+                # packed: it overlaps later chunks' compute and host IO
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
         pending.append((dev, next_emit, ready))
+        # retire the oldest chunk(s) only once the pipeline is full
+        _drain(keep=pipeline_depth - 1)
 
     def flush(final: bool):
         """Emit every frame whose temporal window is complete (all frames
@@ -512,14 +546,15 @@ def HAVC_main_streaming(
         else:
             padded = batch
         tuned, colored = stage(params, jnp.asarray(padded))
-        if use_uv420:
+        if use_uv420 and sink != "device":
             y_host.extend(batch[:n])
         orig_buf.extend(tuned[:n])
         work_buf.extend(colored[:n])
         flush(final=False)
     flush(final=True)
     _drain()
-    writer.release()
+    if writer is not None:
+        writer.release()
     return written
 
 
@@ -542,6 +577,8 @@ def HAVC_restore_video_streaming(
     frame_propagate: bool = True,
     max_memory_frames: int = 0,
     ref_freq: Optional[int] = None,
+    pipeline_depth: int = 3,
+    sink: str = "video",
 ) -> int:
     """Exemplar restore as a bounded-memory stream (the streaming form of
     HAVC_restore_video): a B&W video is re-colorized from a synchronized
@@ -583,6 +620,12 @@ def HAVC_restore_video_streaming(
     render_vivid=True; the streaming default keeps the historical
     frame_propagate=True carry).  ``max_memory_frames`` bounds ColorMNet
     long-term memory / sizes the DeepRemaster reference buffer.
+
+    ``pipeline_depth``/``sink`` behave as in :func:`HAVC_main_streaming`:
+    up to ``pipeline_depth`` packed output chunks stay in flight on the
+    download/write path, and ``sink`` selects video encode (default),
+    ``"null"`` (download, no encode) or ``"device"`` (no download —
+    1-pixel sync only; the pipeline-only measurement hook).
     """
     import cv2
 
@@ -621,6 +664,12 @@ def HAVC_restore_video_streaming(
     fps = cap_in.get(cv2.CAP_PROP_FPS) or 25.0
     w = int(cap_in.get(cv2.CAP_PROP_FRAME_WIDTH))
     h = int(cap_in.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    # the reference stream may have its own geometry (e.g. the bundled
+    # sample_colored_sync.mp4 is 300x220 against the 920x672 B&W input);
+    # scene detection runs at REF resolution, both streams meet at the
+    # engine work size via smart_resize_pad
+    rw = int(cap_ref.get(cv2.CAP_PROP_FRAME_WIDTH)) or w
+    rh = int(cap_ref.get(cv2.CAP_PROP_FRAME_HEIGHT)) or h
     # transfer knobs (see HAVC_main_streaming): luma-only upload for the
     # B&W stream when its decode is exactly gray; I420 packed download
     use_gray = bool(gray_input) and gray_input is not None
@@ -703,10 +752,16 @@ def HAVC_restore_video_streaming(
                 x, sat=DEF_VIVID_SAT_LOW, hue=int(DEF_VIVID_HUE_HIGH)),
         )
 
-    writer = cv2.VideoWriter(
-        path_out, cv2.VideoWriter_fourcc(*codec), fps, (w, h))
-    if not writer.isOpened():
-        raise IOError(f"cannot open video writer: {path_out}")
+    if sink not in ("video", "null", "device"):
+        raise ValueError(
+            f"HAVC_restore_video_streaming: unknown sink {sink!r}")
+    writer = None
+    if sink == "video":
+        writer = cv2.VideoWriter(
+            path_out, cv2.VideoWriter_fourcc(*codec), fps, (w, h))
+        if not writer.isOpened():
+            raise IOError(f"cannot open video writer: {path_out}")
+    pipeline_depth = max(int(pipeline_depth), 1)
 
     def read_chunk(cap, n, gray=False):
         # uint8 at the transfer boundary: 1 byte/channel crosses the link,
@@ -752,7 +807,7 @@ def HAVC_restore_video_streaming(
         return flags, last, has_last
 
     sc_fn = cached_jit(
-        ("stream_sc_scan", wh, ww, sc_threshold, h, w, ref_freq),
+        ("stream_sc_scan", wh, ww, sc_threshold, rh, rw, ref_freq),
         lambda: _sc_scan,
     )
 
@@ -760,7 +815,8 @@ def HAVC_restore_video_streaming(
     state = None  # ColorMNet scan carry
     carry_ref = None  # DeepEx current-scene reference (device, (1,h,w,3))
     # carry of the resumable detector: the previous REFERENCE frame's luma
-    last_ref_luma = jnp.zeros((h, w), jnp.float32)
+    # (at the reference stream's own geometry)
+    last_ref_luma = jnp.zeros((rh, rw), jnp.float32)
     has_last = jnp.zeros((), bool)
 
     def run_colormnet(work, work_refs, is_ref):
@@ -868,9 +924,47 @@ def HAVC_restore_video_streaming(
         return colored
 
     written = 0
+
+    # pipelined write path (same design as HAVC_main_streaming): packed
+    # chunks queue with their async downloads in flight; the oldest is
+    # retired once ``pipeline_depth`` are outstanding
+    pending: list = []
+
+    def _write_chunk(dev, y_u8, t):
+        nonlocal written
+        if sink == "device":
+            np.asarray(dev.reshape(-1)[:1])  # 1-px sync, no download
+            written += t
+            return
+        host = np.asarray(dev)
+        if use_uv420:
+            # chroma-only download; host Y = studio-swing map of its own
+            # decoded gray bytes (the output luma IS the input luma here)
+            v = y_u8.astype(np.int32)
+            ystudio = ((900726 * v + (1 << 19) + (16 << 20)) >> 20
+                       ).astype(np.uint8)
+            for i in range(t):
+                if writer is not None:
+                    fr = np.concatenate([ystudio[i], host[i]], axis=0)
+                    writer.write(cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
+                written += 1
+            return
+        for u8 in host:
+            if writer is not None:
+                writer.write(cv2.cvtColor(
+                    u8,
+                    cv2.COLOR_YUV2BGR_I420 if use_i420 else cv2.COLOR_RGB2BGR,
+                ))
+            written += 1
+
+    def _drain(keep: int = 0):
+        while len(pending) > keep:
+            _write_chunk(*pending.pop(0))
+
+    emitted = 0  # frames handed to the write pipeline
     frame0 = 0  # global index of the next input frame
-    while count is None or written < count:
-        n = chunk_size if count is None else min(chunk_size, count - written)
+    while count is None or emitted < count:
+        n = chunk_size if count is None else min(chunk_size, count - emitted)
         bw_u8 = read_chunk(cap_in, n, gray=use_gray)
         if bw_u8 is None:
             break
@@ -916,28 +1010,25 @@ def HAVC_restore_video_streaming(
 
         full = restore_fn(bw, colored_small)
         if use_uv420:
-            # chroma-only download; host Y = studio-swing map of its own
-            # decoded gray bytes (the output luma IS the input luma here)
-            uv = np.asarray(to_i420(full)[:, h:, :])
-            v = bw_u8.astype(np.int32)
-            ystudio = ((900726 * v + (1 << 19) + (16 << 20)) >> 20
-                       ).astype(np.uint8)
-            for i in range(uv.shape[0]):
-                fr = np.concatenate([ystudio[i], uv[i]], axis=0)
-                writer.write(cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
-                written += 1
+            dev = to_i420(full)[:, h:, :]
+        elif use_i420:
+            dev = to_i420(full)
         else:
-            out = np.asarray(to_i420(full) if use_i420 else to_u8(full))
-            for u8 in out:
-                writer.write(cv2.cvtColor(
-                    u8,
-                    cv2.COLOR_YUV2BGR_I420 if use_i420 else cv2.COLOR_RGB2BGR,
-                ))
-                written += 1
+            dev = to_u8(full)
+        if sink != "device":
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
+        pending.append((dev, bw_u8 if use_uv420 else None, t))
+        _drain(keep=pipeline_depth - 1)
+        emitted += t
         frame0 += t
         if t < n:
             break
+    _drain()
     cap_in.release()
     cap_ref.release()
-    writer.release()
+    if writer is not None:
+        writer.release()
     return written

@@ -98,6 +98,21 @@ class TestSceneParallel:
         with pytest.raises(ValueError, match="is_ref\\[0\\]"):
             colormnet_propagate_scenes(engine, frames, ref_ab, is_ref)
 
+    def test_empty_clip_respects_device_out(self, engine):
+        """T=0: the early return must honor device_out (round-4 advisor:
+        an empty chunk in a device-resident pipeline previously came back
+        as np.ndarray)."""
+        import jax as _jax
+
+        frames = np.zeros((0, 64, 112, 3), np.float32)
+        ref_ab = np.zeros((0, 64, 112, 2), np.float32)
+        is_ref = np.zeros(0, bool)
+        host = colormnet_propagate_scenes(engine, frames, ref_ab, is_ref)
+        assert isinstance(host, np.ndarray) and host.shape == ref_ab.shape
+        dev = colormnet_propagate_scenes(engine, frames, ref_ab, is_ref,
+                                         device_out=True)
+        assert isinstance(dev, _jax.Array) and dev.shape == ref_ab.shape
+
 
 class TestSceneParallelMesh:
     def test_sharded_over_8_devices(self, engine, rng):

@@ -271,6 +271,79 @@ def test_streaming_gray_auto_and_i420(tmp_path, monkeypatch):
     assert err2 < 5e-3, f"uv420 vs i420 diverged: {err2:.4f}"
 
 
+def test_streaming_pipeline_depth_and_sinks(tmp_path):
+    """(a) Deeper download pipelining must not change output bytes —
+    depth 1 (pre-r5 one-chunk-behind) and depth 3 write identical
+    streams; (b) the measurement sinks (null = no encode, device = no
+    download) process every frame and write nothing."""
+    src = tmp_path / "in.mp4"
+    _write_test_video(src, t=24, h=64, w=80, seed=9)
+
+    outs = {}
+    for depth in (1, 3):
+        out_path = tmp_path / f"out_d{depth}.mp4"
+        n = streaming.HAVC_main_streaming(
+            str(src), str(out_path), Preset="fast",
+            ColorModel="zhang(eccv16)", batch_size=8, chunk_size=8,
+            pipeline_depth=depth,
+        )
+        assert n == 24
+        outs[depth] = _read_video(out_path)
+    assert np.array_equal(outs[1], outs[3]), "pipeline depth changed output"
+
+    for sink in ("null", "device"):
+        out_path = tmp_path / f"out_{sink}.mp4"
+        n = streaming.HAVC_main_streaming(
+            str(src), str(out_path), Preset="fast",
+            ColorModel="zhang(eccv16)", batch_size=8, chunk_size=8,
+            sink=sink,
+        )
+        assert n == 24
+        assert not out_path.exists(), f"sink={sink} wrote a file"
+
+    with pytest.raises(ValueError):
+        streaming.HAVC_main_streaming(
+            str(src), str(tmp_path / "x.mp4"), sink="bogus")
+
+
+def test_restore_streaming_ref_geometry_and_sinks(tmp_path):
+    """The reference stream may have its own geometry (the bundled
+    sample_colored_sync.mp4 is 300x220 against the 920x672 B&W input):
+    scene detection runs at ref resolution and both streams meet at the
+    work size.  Also covers the restore path's null/device sinks."""
+    src = tmp_path / "in.mp4"
+    ref = tmp_path / "ref.mp4"
+    frames = _write_test_video(src, t=10, h=64, w=96, seed=11)
+    wr = cv2.VideoWriter(str(ref), cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                         (48, 32))
+    for i, f in enumerate(frames):
+        tinted = np.clip(f * np.array([1.2, 0.9, 0.8]) * (0.6 + 0.05 * i),
+                         0, 1)
+        small = cv2.resize(tinted, (48, 32), interpolation=cv2.INTER_AREA)
+        wr.write(cv2.cvtColor((small * 255).astype(np.uint8),
+                              cv2.COLOR_RGB2BGR))
+    wr.release()
+
+    out_path = tmp_path / "out.mp4"
+    n = streaming.HAVC_restore_video_streaming(
+        str(src), str(ref), str(out_path), chunk_size=5,
+        work_size=(32, 32), ex_model=1, render_speed="fast",
+    )
+    assert n == 10
+    got = _read_video(out_path)
+    assert got.shape == (10, 64, 96, 3)
+
+    for sink in ("null", "device"):
+        out_s = tmp_path / f"out_{sink}.mp4"
+        n = streaming.HAVC_restore_video_streaming(
+            str(src), str(ref), str(out_s), chunk_size=5,
+            work_size=(32, 32), ex_model=1, render_speed="fast",
+            sink=sink,
+        )
+        assert n == 10
+        assert not out_s.exists()
+
+
 def test_transfer_mode_resolution():
     """The pure transfer gate: uv420 only when the host owns the output
     luma (even dims + gray upload + no device luma retune); explicit
