@@ -32,12 +32,30 @@ import numpy as np
 # model 1=artistic (rf 24 == input 384).  method 0 = DeOldify only,
 # 1 = DDColor only, 2 = SimpleMerge 50/50.
 CONFIGS = {
+    # --- test set #1 (README.md:243-268) ---
     "D+D": dict(method=2, mweight=0.5, deoldify_p=(0, 24, 1.0, 0.0),
                 ddcolor_p=(1, 24, 1.0, 0.0, True)),
     "DD": dict(method=1, ddcolor_p=(1, 24, 1.0, 0.0, True)),
     "DS": dict(method=0, deoldify_p=(1, 24, 1.0, 0.0)),
     "DV": dict(method=0, deoldify_p=(0, 24, 1.0, 0.0)),
+    # --- test set #2 (README.md:294-319; run with
+    #     --images-dir /root/reference/test_images_ex) ---
+    "DS+DD": dict(method=2, mweight=0.5, deoldify_p=(1, 30, 1.0, 0.0),
+                  ddcolor_p=(1, 24, 1.0, 0.0, True)),
+    "DA+DDs": dict(method=2, mweight=0.5, deoldify_p=(2, 30, 1.0, 0.0),
+                   ddcolor_p=(0, 24, 1.0, 0.0, True)),
+    "DA+DD": dict(method=2, mweight=0.5, deoldify_p=(2, 30, 1.0, 0.0),
+                  ddcolor_p=(1, 24, 1.0, 0.0, True)),
+    "DDs": dict(method=1, ddcolor_p=(0, 24, 1.0, 0.0, True)),
+    "DA": dict(method=0, deoldify_p=(2, 30, 1.0, 0.0)),
     "zhang": None,  # handled via HAVC_main ColorModel (eccv16)
+}
+
+# Published reference averages per config (README.md:268, :319) — echoed
+# into the JSON summary so the emitted table is directly comparable.
+REFERENCE_AVERAGES = {
+    "D+D": 8.3, "DD": 8.5, "DS": 9.1, "DV": 9.5,
+    "DS+DD": 8.0, "DA+DDs": 8.0, "DA+DD": 8.1, "DDs": 8.9, "DA": 9.4,
 }
 
 
@@ -155,7 +173,10 @@ def main():
         "images": len(images),
         "averages": avgs,
         "weights": "converted" if args.weights_dir else "RANDOM (demo)",
-        "reference_averages": {"D+D": 8.3, "DD": 8.5, "DS": 9.1, "DV": 9.5},
+        "reference_averages": {
+            c: REFERENCE_AVERAGES[c] for c in args.configs
+            if c in REFERENCE_AVERAGES
+        },
     }))
 
 

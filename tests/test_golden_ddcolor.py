@@ -33,16 +33,9 @@ from havc_tpu.models import convert
 
 RF = 4  # render factor -> input_size = trunc(4/2)*32 = 64 (micro-sized)
 
-TEST_IMAGES = [
-    "/root/reference/test_images/Image_01_test.jpg",
-    "/root/reference/test_images/Image_04_test.jpg",
-    "/root/reference/test_images/Image_07_test.jpg",
-    "/root/reference/test_images/Image_10_test.jpg",
-    "/root/reference/test_images/Image_13_test.jpg",
-    "/root/reference/test_images/Image_16_test.jpg",
-    "/root/reference/test_images/Image_19_test.jpg",
-    "/root/reference/test_images/Image_22_test.jpg",
-]
+from _golden_images import ALL_IMAGES
+
+TEST_IMAGES = ALL_IMAGES  # all 23 published benchmark images
 
 
 def _load_image(path, max_side=224):

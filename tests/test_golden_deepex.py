@@ -80,7 +80,8 @@ def _lab_to_rgb_np(lab):
     )
 
 
-def _reference_driver(torch_nets, frames, refs, is_ref, vivid):
+def _reference_driver(torch_nets, frames, refs, is_ref, vivid,
+                      temperature=1e-10):
     """ModelColorizer set_ref_frame + colorize_frame transcription
     (centered LAB, pinned last prediction, per-scene features)."""
     fc = load_ref_module("vsdeoldify.deepex.models.FrameColor")
@@ -113,7 +114,7 @@ def _reference_driver(torch_nets, frames, refs, is_ref, vivid):
             IA_lab = to_centered(frames[t])
             ab, _, _ = fc.frame_colorization(
                 IA_lab, IB_lab, last, features_B, vgg_t, warp_t, color_t,
-                feature_noise=0, temperature=1e-10,
+                feature_noise=0, temperature=temperature,
             )
             # I_last_lab_predict update is commented out in the reference
             # driver (deepex/__init__.py:174) — last stays pinned
@@ -169,3 +170,59 @@ def test_deepex_driver_golden(torch_nets, flax_engine, vivid):
     assert mean_de <= tol, (
         f"vivid={vivid}: mean dE2000 {mean_de:.3f} > {tol}"
     )
+
+
+@pytest.mark.slow
+def test_deepex_driver_golden_benchmark_images(torch_nets, flax_engine):
+    """Exemplar-pipeline gate on the PUBLISHED benchmark photos: B&W
+    luma of test_images/Image_NN_test.jpg colorized against the set-#2
+    variant (test_images_ex) as the exemplar, each image its own scene —
+    the real-image counterpart of the synthetic driver gate above
+    (round-4 verdict item 6: 'one exemplar-pipeline image gate')."""
+    import cv2
+
+    from _golden_images import ALL_IMAGES, ALL_IMAGES_EX
+    from havc_tpu.exemplar import deepex_propagate
+
+    idxs = [0, 9, 18]  # Image_01 / Image_10 / Image_19
+    frames, refs = [], []
+    for i in idxs:
+        bgr = cv2.imread(ALL_IMAGES[i])
+        assert bgr is not None, f"missing asset {ALL_IMAGES[i]}"
+        gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+        g = cv2.resize(gray, (W, H), interpolation=cv2.INTER_AREA)
+        frames.append(np.repeat(g[..., None], 3, -1).astype(np.float32) / 255.0)
+        bgr_ex = cv2.imread(ALL_IMAGES_EX[i])
+        assert bgr_ex is not None, f"missing asset {ALL_IMAGES_EX[i]}"
+        rgb_ex = cv2.cvtColor(bgr_ex, cv2.COLOR_BGR2RGB)
+        refs.append(
+            cv2.resize(rgb_ex, (W, H), interpolation=cv2.INTER_AREA)
+            .astype(np.float32) / 255.0
+        )
+    frames, refs = np.stack(frames), np.stack(refs)
+    is_ref = np.ones(len(idxs), bool)  # every image is its own exemplar
+
+    # The driver's own temperature=1e-10 (deepex/__init__.py:171) is a hard
+    # argmax over correspondence scores; with SEEDED RANDOM weights real
+    # photos put near-ties on ~6% of positions and the winner flips between
+    # torch and flax (different summation order), giving those pixels an
+    # arbitrary warped color on one side while the other 94% match EXACTLY
+    # (measured p50 = p90 = 0.0).  The gate therefore runs the full driver
+    # flow at warp_color's own default temperature=0.01 — smooth softmax,
+    # no tie chaos — where mean dE<=1 is meaningful over 100% of pixels.
+    # The synthetic gate above keeps the 1e-10 path pinned (smooth random
+    # fields, no ties).
+    ref_out = _reference_driver(torch_nets, frames, refs, is_ref, False,
+                                temperature=0.01)
+    with jax.default_matmul_precision("highest"):
+        got = deepex_propagate(
+            flax_engine, frames, refs, is_ref,
+            wls_filter=False, frame_propagate=True, vivid=False,
+            batch_size=len(idxs), temperature=0.01,
+        )
+    de = metrics.dE2000(
+        (np.clip(ref_out, 0, 1) * 255).astype(np.uint8),
+        (np.clip(got, 0, 1) * 255).astype(np.uint8),
+    )
+    mean_de = float(np.mean(de))
+    assert mean_de <= 1.0, f"benchmark-image mean dE2000 {mean_de:.3f} > 1"

@@ -39,16 +39,9 @@ from havc_tpu.models import convert
 
 RF = 8  # render factor: model works at 128x128 (CPU-sized)
 
-TEST_IMAGES = [
-    "/root/reference/test_images/Image_01_test.jpg",
-    "/root/reference/test_images/Image_04_test.jpg",
-    "/root/reference/test_images/Image_07_test.jpg",
-    "/root/reference/test_images/Image_10_test.jpg",
-    "/root/reference/test_images/Image_13_test.jpg",
-    "/root/reference/test_images/Image_16_test.jpg",
-    "/root/reference/test_images/Image_19_test.jpg",
-    "/root/reference/test_images/Image_22_test.jpg",
-]
+from _golden_images import ALL_IMAGES
+
+TEST_IMAGES = ALL_IMAGES  # all 23 published benchmark images
 
 IMAGENET_MEAN = torch.tensor([0.485, 0.456, 0.406])[:, None, None]
 IMAGENET_STD = torch.tensor([0.229, 0.224, 0.225])[:, None, None]

@@ -29,16 +29,9 @@ from havc_tpu import engines, metrics
 from havc_tpu.models import convert
 from havc_tpu.models import zhang as zh
 
-TEST_IMAGES = [
-    "/root/reference/test_images/Image_01_test.jpg",
-    "/root/reference/test_images/Image_04_test.jpg",
-    "/root/reference/test_images/Image_07_test.jpg",
-    "/root/reference/test_images/Image_10_test.jpg",
-    "/root/reference/test_images/Image_13_test.jpg",
-    "/root/reference/test_images/Image_16_test.jpg",
-    "/root/reference/test_images/Image_19_test.jpg",
-    "/root/reference/test_images/Image_22_test.jpg",
-]
+from _golden_images import ALL_IMAGES
+
+TEST_IMAGES = ALL_IMAGES  # all 23 published benchmark images
 
 
 @pytest.fixture(scope="module")
