@@ -337,11 +337,23 @@ def _build_cm_step(engine: ColorMNetEngine, vivid: bool,
         if exemplar_insert:
             # step_AnyExemplar ref branch: encode the exemplar image's OWN
             # key/value and insert BEFORE the readout (the value encoder
-            # output is hidden-independent; is_deep_update=False)
+            # output is hidden-independent; is_deep_update=False).  The
+            # encode is a full ResNet18 pass at work resolution and refs
+            # are sparse (one per scene), so it runs under lax.cond — the
+            # reference likewise only encodes on set_ref_frame steps
+            # (inference_core.py:151-183).
             ref_l3, rg16, rkey, rshrink, rsel = ref_pre
-            rvalue, _ = engine.value_encoder.apply(
-                p_value, ref_l3[None], rg16[None], jnp.zeros_like(hidden),
-                rab_oihw[None], deep_update=False,
+
+            def _enc_ref(_):
+                rv, _h = engine.value_encoder.apply(
+                    p_value, ref_l3[None], rg16[None],
+                    jnp.zeros_like(hidden), rab_oihw[None],
+                    deep_update=False,
+                )
+                return rv.astype(last_value.dtype)
+
+            rvalue = jax.lax.cond(
+                exem, _enc_ref, lambda _: jnp.zeros_like(last_value), None
             )
             state = mem.insert_working(
                 state, cfg, rkey.reshape(P, -1), rshrink.reshape(P),
@@ -395,10 +407,24 @@ def _build_cm_step(engine: ColorMNetEngine, vivid: bool,
 
         # current-frame value encode + insert; on deep-update frames the
         # value encoder reinforces the PREVIOUS hidden (h1 == carry hidden
-        # there, since normal_upd and is_deep are mutually exclusive)
-        value16, hidden_reinf = engine.value_encoder.apply(
-            p_value, frame_b, g16, h1, ab_used[None]
-        )  # value16: (2, h16, w16, Cv)
+        # there, since normal_upd and is_deep are mutually exclusive).
+        # The encode (ResNet18 at work resolution — the step's FLOPs king)
+        # only matters on memory frames (1 in mem_every=5), and the
+        # reference only runs encode_value there (inference_core.py:
+        # 198-228), so it is gated behind lax.cond: ~real conditional in
+        # the sequential scan; under the scene-parallel vmap it lowers to
+        # select, which is exactly the old always-on cost.
+        def _enc_cur(_):
+            v16, h_re = engine.value_encoder.apply(
+                p_value, frame_b, g16, h1, ab_used[None]
+            )  # v16: (2, h16, w16, Cv)
+            return v16.astype(last_value.dtype), h_re.astype(hidden.dtype)
+
+        value16, hidden_reinf = jax.lax.cond(
+            is_mem, _enc_cur,
+            lambda _: (jnp.zeros_like(last_value), h1.astype(hidden.dtype)),
+            None,
+        )
         hidden_out = jnp.where(is_deep & is_mem, hidden_reinf, h1)
 
         tokens_v = value16.reshape(2, P, engine.value_dim)
