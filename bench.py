@@ -54,7 +54,7 @@ import time
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _METRIC = "1080p_DD_pipeline_fps_per_chip"
 _T_START = time.perf_counter()
-_BUDGET_S = float(os.environ.get("HAVC_BENCH_BUDGET_S", "2100"))
+_BUDGET_S = float(os.environ.get("HAVC_BENCH_BUDGET_S", "2400"))
 
 
 def _elapsed():
@@ -219,8 +219,10 @@ def _bench_streaming_e2e(extra):
     - e2e depth 1: the pre-r5 one-chunk-behind write path (A/B for the
       deeper download pipelining)
     - null sink: full download, no encode (isolates the cv2 encoder)
-    - device sink: no download (pipeline-only fps — what the compute +
-      overlap machinery sustains when the tunnel is out of the picture)
+    - device sink: no download (still pays decode + gray upload)
+    - device source + sink: zero link traffic — the compute/chunk/pack
+      machinery alone (the directly-attached-chip pipeline rate)
+    - plus host decode alone, so every leg of the projection is recorded
     """
     from havc_tpu.streaming import HAVC_main_streaming
     from havc_tpu import streaming as _streaming
@@ -248,21 +250,49 @@ def _bench_streaming_e2e(extra):
     # mode the call actually selected
     extra["e2e_streaming_transfer"] = _streaming.last_transfer() or "?"
 
+    # pipeline-only: the compute + overlap machinery with the download
+    # leg removed — still pays decode + the gray upload (2.07 MB/frame;
+    # at the link_up above that alone can bound the loop).  Its own warm
+    # pass: the device sink's 1-px sync slices are new (tiny) programs
+    # that must not compile inside the clock.
+    HAVC_main_streaming(tmp_in, tmp_out, Preset="medium", count=64,
+                        sink="device")
+    n, dt = timed(sink="device")
+    extra["streaming_pipeline_only_fps_1080p"] = round(n / dt, 2)
+
+    # compute-only: device source AND device sink — one decoded batch
+    # uploaded once, then the identical per-batch compute/chunk/pack
+    # machinery with ZERO link traffic.  This is the rate the streaming
+    # pipeline itself sustains on a directly-attached chip (its host
+    # would add decode, measured separately below).
+    HAVC_main_streaming(tmp_in, tmp_out, Preset="medium", count=64,
+                        sink="device", source="device")
+    n, dt = timed(sink="device", source="device", count=192)
+    extra["streaming_compute_only_fps_1080p"] = round(n / dt, 2)
+
     if not _over_budget(reserve_s=240):
         n, dt = timed(pipeline_depth=1)
         extra["e2e_streaming_fps_1080p_depth1"] = round(n / dt, 2)
     if not _over_budget(reserve_s=180):
         n, dt = timed(sink="null")
         extra["streaming_nullsink_fps_1080p"] = round(n / dt, 2)
-    # pipeline-only: the compute + overlap machinery with the download
-    # leg removed — the number a directly-attached chip's pipeline rate
-    # is bounded by (modulo its own PCIe, measured via link_*_MBps).
-    # Its own warm pass: the device sink's 1-px sync slices are new
-    # (tiny) programs that must not compile inside the clock.
-    HAVC_main_streaming(tmp_in, tmp_out, Preset="medium", count=64,
-                        sink="device")
-    n, dt = timed(sink="device")
-    extra["streaming_pipeline_only_fps_1080p"] = round(n / dt, 2)
+
+    # host decode alone (cv2, this 1-core host) so the directly-attached
+    # projection composes from recorded legs: decode || upload || compute
+    import cv2
+
+    cap = cv2.VideoCapture(tmp_in)
+    n_dec = 0
+    t0 = time.perf_counter()
+    while True:
+        ok, _fr = cap.read()
+        if not ok:
+            break
+        n_dec += 1
+    cap.release()
+    if n_dec:
+        extra["host_decode_fps_1080p"] = round(
+            n_dec / (time.perf_counter() - t0), 2)
 
 
 def _bench_restore_streaming(extra):
@@ -275,9 +305,9 @@ def _bench_restore_streaming(extra):
 
     bw = "/root/reference/samples/sample_bw.mp4"
     ref = "/root/reference/samples/sample_colored_sync.mp4"
-    count = 128
+    count = 96
     for ex_model, name in ((0, "colormnet"), (1, "deepex"), (2, "remaster")):
-        if _over_budget(reserve_s=120):
+        if _over_budget(reserve_s=100):
             extra[f"restore_streaming_{name}_skipped"] = "bench budget"
             continue
         try:
@@ -420,9 +450,17 @@ def run_child():
                     clip0.with_frames(fr), Preset="medium", ScThreshold=0.10
                 ).frames
 
-            fps_m, sp, _ = clock.fps(call_main, clip0.frames,
-                                     items_per_call=T_m, n_links=2,
-                                     repeats=3)
+            # the tunneled remote-compile service throws transient HTTP
+            # 500s; one bounded retry keeps a hiccup out of the artifact
+            try:
+                fps_m, sp, _ = clock.fps(call_main, clip0.frames,
+                                         items_per_call=T_m, n_links=2,
+                                         repeats=3)
+            except Exception:  # noqa: BLE001
+                time.sleep(20.0)
+                fps_m, sp, _ = clock.fps(call_main, clip0.frames,
+                                         items_per_call=T_m, n_links=2,
+                                         repeats=3)
             _put(extra, "havc_main_fps_1080p", fps_m, sp)
         except Exception as e:  # noqa: BLE001 - secondary metric only
             extra["havc_main_error"] = f"{type(e).__name__}: {e}"[:160]
@@ -446,11 +484,18 @@ def run_child():
             is_ref[0] = True
             # device_out: engine throughput, not the tunnel download of
             # the (T,H,W,2) f32 output (~0.4 s for T=16 on this link)
-            fps_c, sp, _ = clock.fps(
+            # 5 repeats + the raw per-repeat times in the artifact: the
+            # relay occasionally stalls tens of seconds mid-repeat (r5
+            # run: spread 69 from one stalled repeat), so the median
+            # needs more samples and the tail must be visible, not
+            # folded into a single spread scalar
+            fps_c, sp, times_c = clock.fps(
                 lambda x: colormnet_propagate(eng, x, rab, is_ref,
                                               device_out=True),
-                fr, items_per_call=T, n_links=3, repeats=3)
+                fr, items_per_call=T, n_links=3, repeats=5)
             _put(extra, "colormnet_fps_224x448", fps_c, sp)
+            extra["colormnet_chain_times_s"] = [
+                round(t, 3) for t in times_c]
         except Exception as e:  # noqa: BLE001 - secondary metric only
             extra["colormnet_error"] = f"{type(e).__name__}: {e}"[:160]
 

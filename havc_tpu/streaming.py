@@ -203,6 +203,7 @@ def HAVC_main_streaming(
     transfer_format: str = "auto",
     pipeline_depth: int = 3,
     sink: str = "video",
+    source: str = "video",
 ) -> int:
     """Classic HAVC_main as a bounded-memory stream; returns frames written.
 
@@ -246,6 +247,13 @@ def HAVC_main_streaming(
       (isolates encoder cost); ``"device"`` leaves every packed chunk on
       device and syncs on a 1-pixel fetch only (isolates the download
       leg — this is the pipeline-only fps artifact, see bench.py).
+    - ``source``: ``"video"`` (default) decodes+uploads every frame;
+      ``"device"`` decodes ONE batch, uploads it once, and feeds the
+      device-resident batch ``count // batch_size`` times — the identical
+      per-batch compute/chunk/pack machinery with ZERO link traffic on
+      the input side (``count`` required, rounded down to a batch
+      multiple).  With ``sink="device"`` this is the compute-only
+      pipeline rate a directly-attached chip is bounded by.
     """
     import cv2
 
@@ -536,9 +544,33 @@ def HAVC_main_streaming(
                 del orig_buf[:drop], work_buf[:drop]
                 global_start += drop
 
-    for batch in stream_batches(path_in, batch_size, prefetch=4, count=count,
-                                gray=use_gray):
-        n = batch.shape[0]
+    if source not in ("video", "device"):
+        raise ValueError(f"HAVC_main_streaming: unknown source {source!r}")
+    first_host = None
+    if source == "device":
+        # one decoded batch uploaded once; the loop below then re-feeds the
+        # device-resident batch — identical compute/chunk/pack machinery
+        # with no decode and no host->device traffic inside the run
+        if count is None:
+            raise ValueError(
+                "HAVC_main_streaming: source='device' requires count")
+        first_host = next(stream_batches(
+            path_in, batch_size, prefetch=1, count=batch_size,
+            gray=use_gray))
+        if first_host.shape[0] < batch_size:
+            first_host = np.concatenate(
+                [first_host,
+                 np.repeat(first_host[-1:],
+                           batch_size - first_host.shape[0], axis=0)])
+        dev0 = jnp.asarray(first_host)
+        dev0.block_until_ready()
+        batches = (dev0 for _ in range(max(int(count) // batch_size, 1)))
+    else:
+        batches = stream_batches(path_in, batch_size, prefetch=4,
+                                 count=count, gray=use_gray)
+
+    for batch in batches:
+        n = int(batch.shape[0])
         if n < batch_size:
             padded = np.concatenate(
                 [batch, np.repeat(batch[-1:], batch_size - n, axis=0)]
@@ -547,7 +579,8 @@ def HAVC_main_streaming(
             padded = batch
         tuned, colored = stage(params, jnp.asarray(padded))
         if use_uv420 and sink != "device":
-            y_host.extend(batch[:n])
+            y_host.extend(
+                (first_host if first_host is not None else batch)[:n])
         orig_buf.extend(tuned[:n])
         work_buf.extend(colored[:n])
         flush(final=False)

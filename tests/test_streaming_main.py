@@ -306,6 +306,39 @@ def test_streaming_pipeline_depth_and_sinks(tmp_path):
             str(src), str(tmp_path / "x.mp4"), sink="bogus")
 
 
+def test_streaming_device_source(tmp_path):
+    """source='device' (bench compute-only mode): decodes one batch,
+    uploads it once, and re-feeds the device-resident batch through the
+    identical compute/chunk/pack machinery.  Count semantics: processes
+    count rounded down to a batch multiple; requires count; the video
+    sink still writes a real file of that length."""
+    src = tmp_path / "in.mp4"
+    _write_test_video(src, t=8, h=64, w=80, seed=3)
+
+    n = streaming.HAVC_main_streaming(
+        str(src), str(tmp_path / "o1.mp4"), Preset="fast",
+        ColorModel="zhang(eccv16)", batch_size=8, chunk_size=8,
+        sink="device", source="device", count=24,
+    )
+    assert n == 24
+
+    out_path = tmp_path / "o2.mp4"
+    n = streaming.HAVC_main_streaming(
+        str(src), str(out_path), Preset="fast",
+        ColorModel="zhang(eccv16)", batch_size=8, chunk_size=8,
+        source="device", count=16,
+    )
+    assert n == 16
+    assert _read_video(out_path).shape[0] == 16
+
+    with pytest.raises(ValueError):
+        streaming.HAVC_main_streaming(
+            str(src), str(tmp_path / "x.mp4"), source="device")
+    with pytest.raises(ValueError):
+        streaming.HAVC_main_streaming(
+            str(src), str(tmp_path / "x.mp4"), source="bogus")
+
+
 def test_restore_streaming_ref_geometry_and_sinks(tmp_path):
     """The reference stream may have its own geometry (the bundled
     sample_colored_sync.mp4 is 300x220 against the 920x672 B&W input):
