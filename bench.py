@@ -89,12 +89,19 @@ def _emit(value, backend, note=None, extra=None):
 
 def _sync_1px(x):
     """Force completion via a real 1-element fetch (block_until_ready can
-    return before compute completes on the axon platform)."""
+    return before compute completes on the axon platform).
+
+    Fetch through a (1,...,1) SLICE, never reshape(-1): ravel of a
+    (T,1080,1920,3) array makes XLA copy the input into the default
+    tiled layout T(8,128), padding the size-3 minor dim to 128 — a 42.7x
+    allocation (51 GB at T=48) that aborts the compile on a 16 GB chip
+    (this was the r5 havc_main bench failure)."""
     import numpy as np
 
     if isinstance(x, (tuple, list)):
         x = x[0]
-    return np.asarray(x.reshape(-1)[:1])
+    nd = getattr(x, "ndim", 0)
+    return np.asarray(x[tuple(slice(0, 1) for _ in range(nd))] if nd else x)
 
 
 class ChainClock:

@@ -91,6 +91,25 @@ def smart_resize_shape(width: int, height: int, speed: str = "medium"):
     return get_deepex_size(speed)
 
 
+def remaster_work_shape(width: int, height: int, frame_mindim: int = 320):
+    """DeepRemaster working geometry (``resize_for_inference``,
+    remaster/remaster_utils.py:134-143): scale so min(w, h) ==
+    ``frame_mindim``, then round EACH side to a multiple of 16.  Returns
+    (work_h, work_w).
+
+    /16 is a hard requirement of NetworkC: the decoder's skip concat
+    joins a 2x-upsampled 1/16 feature with the 1/8 feature, which only
+    line up when both dims divide by 16 — the deepex smart sizes
+    (216x384 medium, 360x640 slower) do NOT, so DeepRemaster must never
+    run at them (the reference routes ex_model=2 to vs_deepremaster for
+    the same reason, __init__.py:839-842, 2069-2116)."""
+    minwh = min(width, height)
+    scale = 1.0 if minwh == frame_mindim else frame_mindim / minwh
+    fw = max(round(width * scale / 16.0), 1) * 16
+    fh = max(round(height * scale / 16.0), 1) * 16
+    return fh, fw
+
+
 def pad112_geometry(wh: int, ww: int):
     """ColorMNet input geometry: the reference pads its input to multiples
     of 112 = lcm(14, 16) with symmetric zero borders (colormnet_render
@@ -1213,15 +1232,17 @@ def _get_engine(kind: str, **kw):
     return _ENGINE_CACHE[key]
 
 
-def _prepare_work(clip: Clip, speed: str, batch: int = 8):
+def _prepare_work(clip: Clip, speed: str, batch: int = 8, shape=None):
     """Aspect-preserving SmartResize: pad to the model aspect with borders
     then spline64 to the working size (vsresize.py:294-315) — round-1
     stretched instead, distorting the correspondence geometry the exemplar
     models match on.  Returns a DEVICE array (the engine stages consume it
-    without another host round-trip)."""
+    without another host round-trip).  ``shape`` overrides the speed-derived
+    size (DeepRemaster runs at its own /16 geometry, remaster_work_shape)."""
     from ..ops.resize import smart_resize_pad
 
-    h, w = smart_resize_shape(clip.width, clip.height, speed)
+    h, w = shape if shape is not None \
+        else smart_resize_shape(clip.width, clip.height, speed)
     fn = cached_jit(
         ("smart_resize_pad", h, w, clip.height, clip.width),
         lambda: lambda x: smart_resize_pad(x, h, w, "spline64")[0],
@@ -1300,6 +1321,7 @@ def _exemplar_dispatch(
     scene_parallel: bool = False,
     scene_mesh=None,
     use_all_refs: bool = False,
+    frame_mindim: int = 320,
 ) -> np.ndarray:
     """Shared engine dispatch: work-res prep -> propagate -> ref-merge
     blend -> colored frames at work resolution (reference HAVC_deepex
@@ -1329,7 +1351,13 @@ def _exemplar_dispatch(
         )
         ref_frames = np.asarray(fn(jnp.asarray(ref_frames)))
 
-    work_frames, (wh, ww), pad_meta = _prepare_work(clip, render_speed)
+    # DeepRemaster never runs at the deepex smart sizes: NetworkC needs
+    # /16 dims (216x384 medium / 360x640 slower are not), and the
+    # reference gives ex_model=2 its own resize_for_inference geometry
+    rm_shape = remaster_work_shape(clip.width, clip.height, frame_mindim) \
+        if ex_model == 2 else None
+    work_frames, (wh, ww), pad_meta = _prepare_work(
+        clip, render_speed, shape=rm_shape)
     from ..ops.resize import smart_resize_pad
 
     work_refs = cached_jit(
@@ -1499,6 +1527,7 @@ def HAVC_deepex(
     vivid: Optional[bool] = None,
     scene_parallel: bool = False,
     scene_mesh=None,
+    frame_mindim: int = 320,
 ) -> Clip:
     """Exemplar-based colorization front-end (HAVC_deepex,
     __init__.py:1421-1735) — full reference parameter surface.
@@ -1705,7 +1734,7 @@ def HAVC_deepex(
         render_vivid, ref_weight, enable_refmerge, ref_merge,
         max_memory_frames, engine_config,
         scene_parallel=scene_parallel, scene_mesh=scene_mesh,
-        use_all_refs=encode_mode in (2, 3),
+        use_all_refs=encode_mode in (2, 3), frame_mindim=frame_mindim,
     )
     out = _restore_full(clip, colored_small, pad_meta)
     return out.with_sc(clip_ref.sc)
@@ -1766,6 +1795,7 @@ def HAVC_restore_video(
     torch_dir: Optional[str] = None,
     engine_config: Optional[str] = None,
     batch_size: int = 8,
+    frame_mindim: int = 320,
 ) -> Clip:
     """Re-colorize a B&W clip from an externally colored clip
     (HAVC_restore_video, __init__.py:1959-2127): scene-detect the *colored*
@@ -1844,7 +1874,7 @@ def HAVC_restore_video(
         ref_weight=ref_weight, merge_enabled=merge_enabled,
         ref_merge=ref_merge, max_memory_frames=max_memory_frames,
         engine_config=engine_config,
-        use_all_refs=encode_mode in (2, 3),
+        use_all_refs=encode_mode in (2, 3), frame_mindim=frame_mindim,
     )
     out = _restore_full(clip, colored_small, pad_meta)
     return out.with_sc(clip_ref.sc)
@@ -1906,7 +1936,12 @@ def HAVC_DeepRemaster(
     else:
         raise ValueError("HAVC_DeepRemaster: ref_dir is unset")
 
-    work_frames, (wh, ww), pad_meta = _prepare_work(clip, render_speed)
+    # reference geometry: resize_for_inference scales min(w,h) to
+    # frame_mindim and rounds each side to /16 (remaster_utils.py:134-143)
+    # — NetworkC's skip concat requires /16 dims
+    work_frames, (wh, ww), pad_meta = _prepare_work(
+        clip, render_speed,
+        shape=remaster_work_shape(clip.width, clip.height, frame_mindim))
     from ..ops.resize import smart_resize_pad
 
     if render_vivid:

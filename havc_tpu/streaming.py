@@ -612,6 +612,7 @@ def HAVC_restore_video_streaming(
     ref_freq: Optional[int] = None,
     pipeline_depth: int = 3,
     sink: str = "video",
+    frame_mindim: int = 320,
 ) -> int:
     """Exemplar restore as a bounded-memory stream (the streaming form of
     HAVC_restore_video): a B&W video is re-colorized from a synchronized
@@ -672,6 +673,7 @@ def HAVC_restore_video_streaming(
         deepex_propagate,
         pad112_geometry,
         remaster_propagate,
+        remaster_work_shape,
         resolve_engine_config,
         smart_resize_shape,
     )
@@ -717,7 +719,13 @@ def HAVC_restore_video_streaming(
     use_uv420, use_i420 = _resolve_transfer(transfer_format, even, use_gray)
 
     if work_size is None:
-        wh, ww = smart_resize_shape(w, h, render_speed)
+        if ex_model == 2:
+            # DeepRemaster's own geometry (resize_for_inference: min dim
+            # -> frame_mindim, each side /16) — NetworkC's skip concat
+            # breaks at the deepex smart sizes (216x384 is not /16)
+            wh, ww = remaster_work_shape(w, h, frame_mindim)
+        else:
+            wh, ww = smart_resize_shape(w, h, render_speed)
     else:
         wh, ww = work_size
 

@@ -272,3 +272,42 @@ def test_hybrid_merge_weight(monkeypatch):
                                render_speed="fast", engine_config="micro")
     assert seen["dx_vivid"] is True
     assert out.num_frames == 8
+
+
+def test_remaster_work_shape_reference_formula():
+    """resize_for_inference parity (remaster/remaster_utils.py:134-143):
+    scale min(w,h) to frame_mindim, round EACH side to /16.  NetworkC's
+    decoder skip concat (2x-upsampled 1/16 + 1/8 feature) requires /16
+    dims, so DeepRemaster must never run at the deepex smart sizes
+    (216x384 medium / 360x640 slower are not /16 — the r5 bench caught a
+    live concat crash from exactly this)."""
+    from havc_tpu.exemplar import remaster_work_shape
+
+    # the bundled sample geometry (920x672 B&W input)
+    assert remaster_work_shape(920, 672) == (320, 432)
+    # already at mindim: sides round to /16 independently
+    assert remaster_work_shape(576, 320) == (320, 576)
+    # custom mindim (tests use small ones to stay fast)
+    assert remaster_work_shape(64, 64, frame_mindim=32) == (32, 32)
+    # a sweep: the result is ALWAYS /16 on both sides
+    for w, h in [(384, 216), (640, 360), (301, 217), (97, 33)]:
+        fh, fw = remaster_work_shape(w, h)
+        assert fh % 16 == 0 and fw % 16 == 0, (w, h, fh, fw)
+
+
+def test_restore_video_ex2_uses_remaster_geometry():
+    """HAVC_restore_video(ex_model=2) routes through the remaster
+    geometry, not the deepex smart size (reference: ex_model=2 goes to
+    vs_deepremaster, __init__.py:2069-2116) — at render_speed='medium'
+    (216x384, not /16) the old path crashed in NetworkC's skip concat."""
+    rng = np.random.default_rng(5)
+    frames = rng.random((6, 48, 64, 3), dtype=np.float32)
+    clip = from_frames(np.clip(frames * 0.5 + 0.25, 0, 1))
+    ref = from_frames(np.clip(frames, 0, 1))
+    out = exemplar.HAVC_restore_video(
+        clip, ref, method=6, render_speed="medium", ex_model=2,
+        max_memory_frames=4, frame_mindim=32,
+    )
+    assert out.num_frames == 6
+    arr = np.asarray(out.frames)
+    assert np.isfinite(arr).all() and arr.min() >= 0 and arr.max() <= 1

@@ -419,6 +419,21 @@ def _write_scene_pair(tmp_path, t=15, period=5, h=64, w=64, seed=7):
     return src, ref
 
 
+def test_restore_streaming_ex2_default_geometry(tmp_path):
+    """With no work_size, ex_model=2 streams at the REMASTER geometry
+    (remaster_work_shape — /16 both sides), not the deepex smart size
+    (216x384 medium is not /16 and crashed the r5 bench on real
+    footage).  frame_mindim keeps the test size small."""
+    src, ref = _write_scene_pair(tmp_path, t=8, period=4)
+    out_path = tmp_path / "out_rm_default.mp4"
+    n = streaming.HAVC_restore_video_streaming(
+        str(src), str(ref), str(out_path), ex_model=2,
+        max_memory_frames=4, frame_mindim=32, chunk_size=8,
+    )
+    assert n == 8
+    assert _read_video(out_path).shape[0] == 8
+
+
 @pytest.mark.parametrize("ex_model,chunks,kw", [
     (1, (5, 15), dict(render_speed="fast")),
     (2, (6, 24), dict(max_memory_frames=4)),
