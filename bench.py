@@ -411,11 +411,14 @@ def run_child():
     clock = ChainClock()
     n_links = 10 if on_tpu else 2
     repeats = 3 if on_tpu else 2
-    fps, h_spread, _ = clock.fps(
+    fps, h_spread, h_times = clock.fps(
         lambda y: pipeline(dd_params, do_params, y), frames,
         items_per_call=BATCH, n_links=n_links, repeats=repeats)
 
-    extra = {"headline_spread": round(float(h_spread), 3)}
+    # raw per-repeat chain times: a relay stall mid-repeat shows up as
+    # one outlier here instead of silently inflating the spread scalar
+    extra = {"headline_spread": round(float(h_spread), 3),
+             "headline_chain_times_s": [round(t, 3) for t in h_times]}
     if on_tpu:
         # measured link bandwidth first: it contextualizes every
         # streaming delta below (fail-soft like all secondary metrics)

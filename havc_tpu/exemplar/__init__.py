@@ -1579,6 +1579,9 @@ def HAVC_deepex(
     ColorMNet scan runs BATCHED over scenes via
     :func:`colormnet_propagate_scenes`, sharded across ``scene_mesh``'s
     data axis when given (multi-chip exemplar scale-out).
+    ``frame_mindim`` (ex_model=2 only): DeepRemaster's
+    resize_for_inference min working dimension (reference exposes it on
+    HAVC_DeepRemaster; default 320).
     """
     if clip is None:
         raise ValueError("HAVC_deepex: clip is required")
