@@ -238,9 +238,10 @@ def _bench_streaming_e2e(extra):
     tmp_out = "/tmp/havc_bench_1080p_out.mp4"
 
     # warm pass compiles every stage at the streaming batch/chunk shapes
-    # (first-compile cost is a one-time artifact, not throughput); 64 is a
-    # multiple of the 32-frame temporal chunk like the timed runs, so the
-    # tail-chunk shapes match and nothing compiles inside the clocks
+    # (first-compile cost is a one-time artifact, not throughput); 64 is
+    # exactly one default temporal chunk (r5: chunk_size default is 64 —
+    # the measured compute-only plateau), so the timed 192-frame runs
+    # (3 full chunks) compile nothing inside the clocks
     HAVC_main_streaming(tmp_in, tmp_out, Preset="medium", count=64)
 
     def timed(**kw):
@@ -327,6 +328,19 @@ def _bench_restore_streaming(extra):
                 bw, ref, out, ex_model=ex_model, count=count)
             dt = time.perf_counter() - t0
             extra[f"restore_streaming_{name}_fps"] = round(n / dt, 2)
+            # pipeline-only leg (download removed, still pays decode +
+            # upload) — the same sink decomposition the classic
+            # streaming metrics carry, so the directly-attached-chip
+            # projection is arithmetic for the exemplar path too
+            HAVC_restore_video_streaming(  # warm the 1-px sync programs
+                bw, ref, out, ex_model=ex_model, count=48, sink="device")
+            t0 = time.perf_counter()
+            n = HAVC_restore_video_streaming(
+                bw, ref, out, ex_model=ex_model, count=count,
+                sink="device")
+            dt = time.perf_counter() - t0
+            extra[f"restore_streaming_{name}_deviceout_fps"] = round(
+                n / dt, 2)
         except Exception as e:  # noqa: BLE001 - secondary metric only
             extra[f"restore_streaming_{name}_error"] = (
                 f"{type(e).__name__}: {e}"[:160])

@@ -17,6 +17,10 @@ deflicker -> full-res chroma restore) as a three-stage stream:
    the same edge replication).
 
 Memory: O(batch + chunk + halo) frames — independent of video length.
+The default chunk of 64 amortizes the halo recompute (6/70 frames) and the
+per-chunk temporal/restore/pack dispatches; measured on the real chip the
+compute-only loop plateaus there (41 fps @ chunk 32 -> 48 fps @ chunk 64,
+flat through 128 — BENCH r5).
 
 Transfer design (tunnel/PCIe-bound paths): frames cross the host<->device
 link as uint8 in BOTH directions (decode hands uint8 to the first jitted
@@ -99,6 +103,72 @@ def _resolve_transfer(transfer_format: str, even: bool, use_gray: bool,
     _LAST_TRANSFER = ("gray+" if use_gray else "rgb+") + (
         "uv420" if use_uv420 else "i420" if use_i420 else "rgb")
     return use_uv420, use_i420
+
+
+class _FrameBuf:
+    """Rolling device-resident frame buffer with BATCH-granular storage.
+
+    The r5.0 loop stored one device array per frame (``buf.extend(
+    batch[:n])`` runs n slice programs) and re-``jnp.stack``-ed ~40 of
+    them per chunk — O(frames) tiny dispatches per chunk, which on a
+    high-latency link (the tunneled dev chip) dominated the streaming
+    loop (compute-only 42 fps vs 66 fps for the same fused pipeline).
+    Storing the stage's (B, ...) output batches whole keeps appends at
+    ONE dispatch per batch and windows at one concat of <=~6 segment
+    operands; dropping consumed frames slices at most the boundary
+    segment once per chunk.
+    """
+
+    def __init__(self):
+        self.segs: list = []  # device arrays, shape (b_i, ...)
+        self.n = 0
+
+    def __len__(self) -> int:
+        return self.n
+
+    def append(self, batch) -> None:
+        self.segs.append(batch)
+        self.n += int(batch.shape[0])
+
+    def window(self, lo: int, hi: int):
+        """Frames [lo, hi) with edge-replicated padding for out-of-range
+        indices — identical to the whole-clip ops' index clipping.  One
+        concatenate over the overlapping segments (plus the pad repeats
+        at true clip edges)."""
+        lo_c, hi_c = max(lo, 0), min(hi, self.n)
+        parts, pos = [], 0
+        for s in self.segs:
+            b = int(s.shape[0])
+            s_lo, s_hi = max(lo_c - pos, 0), min(hi_c - pos, b)
+            if s_lo < s_hi:
+                parts.append(s if (s_lo, s_hi) == (0, b) else s[s_lo:s_hi])
+            pos += b
+        if lo < 0:
+            parts.insert(0, jnp.repeat(parts[0][:1], -lo, 0))
+        if hi > self.n:
+            parts.append(jnp.repeat(parts[-1][-1:], hi - self.n, 0))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    def drop(self, k: int) -> None:
+        """Forget the first ``k`` frames (their windows are complete)."""
+        while self.segs and int(self.segs[0].shape[0]) <= k:
+            b = int(self.segs[0].shape[0])
+            k -= b
+            self.n -= b
+            self.segs.pop(0)
+        if k:
+            self.segs[0] = self.segs[0][k:]
+            self.n -= k
+
+
+def _sync_nodownload(dev) -> None:
+    """Force a packed chunk's program to complete WITHOUT downloading it:
+    fetch one element through a (1,...,1) slice.  Never ``reshape(-1)``
+    — ravel copies the operand into the default tiled layout, padding
+    the minor dim to the (8,128) tile (42.7x memory for ...x3 RGB
+    shapes; see bench._sync_1px).  block_until_ready alone can return
+    before compute completes on the axon platform (bench.py:13-20)."""
+    np.asarray(dev[tuple(slice(0, 1) for _ in range(dev.ndim))])
 
 
 def _is_gray(bgr: np.ndarray, tol: int = 3) -> bool:
@@ -196,7 +266,7 @@ def HAVC_main_streaming(
     enable_stabilizer: bool = True,
     stab_p=(5, "A", 1, 15, 0.2, 0.8),
     batch_size: int = 8,
-    chunk_size: int = 32,
+    chunk_size: int = 64,
     count: Optional[int] = None,
     codec: str = "mp4v",
     gray_input="auto",
@@ -391,29 +461,16 @@ def HAVC_main_streaming(
 
     written = 0
     # rolling buffers: original LUMA planes (full res, post-BWTune) +
-    # colorized work-res frames; work_buf[0] is global frame index
-    # `global_start`.  Buffers hold DEVICE arrays: interior frames never
-    # visit the host — only the final packed frames come back over the
-    # link.
-    orig_buf: list = []
-    work_buf: list = []
+    # colorized work-res frames; frame 0 of the buffer is global frame
+    # index `global_start`.  Buffers hold DEVICE arrays at BATCH
+    # granularity (_FrameBuf): interior frames never visit the host —
+    # only the final packed frames come back over the link.
+    orig_buf = _FrameBuf()
+    work_buf = _FrameBuf()
     global_start = 0
     next_emit = 0
 
     from .utils import rgb_unit_to_i420_u8 as to_i420, unit_to_u8 as to_u8
-
-    def _padded_window(buf, lo, hi):
-        """buf[lo:hi] with edge-replicated padding for out-of-range
-        indices — identical to the whole-clip ops' index clipping.
-        Pure device ops over the device-resident buffers."""
-        ext_lo, ext_hi = max(lo, 0), min(hi, len(buf))
-        ext = jnp.stack(buf[ext_lo:ext_hi])
-        if lo < 0:
-            ext = jnp.concatenate([jnp.repeat(ext[:1], -lo, 0), ext])
-        if hi > len(buf):
-            ext = jnp.concatenate(
-                [ext, jnp.repeat(ext[-1:], hi - len(buf), 0)])
-        return ext
 
     # host Y planes for the uv420 tail (uint8, decoded gray — the stage
     # luma is exactly these values /255 in gray-upload mode)
@@ -450,10 +507,7 @@ def HAVC_main_streaming(
     def _write_chunk(dev, start, ready):
         nonlocal written, y_base
         if sink == "device":
-            # sync without downloading: fetching one pixel forces the
-            # chunk's program to complete (block_until_ready alone can
-            # return early on the axon platform, bench.py:13-20)
-            np.asarray(dev.reshape(-1)[:1])
+            _sync_nodownload(dev)
             written += ready
             return
         host = np.asarray(dev)
@@ -526,14 +580,14 @@ def HAVC_main_streaming(
 
             lo = next_emit - global_start
             hi = lo + ready
-            orig_ctx = _padded_window(orig_buf, lo - halo_d, hi + halo_d)
+            orig_ctx = orig_buf.window(lo - halo_d, hi + halo_d)
             if not enable_stabilizer:
-                work_ctx = _padded_window(work_buf, lo - halo_d, hi + halo_d)
+                work_ctx = work_buf.window(lo - halo_d, hi + halo_d)
             else:
                 # work window with BOTH halos; temporal over it, then keep
                 # the deflicker-context interior (whose chroma windows are
                 # complete)
-                ext = _padded_window(work_buf, lo - halo_win, hi + halo_win)
+                ext = work_buf.window(lo - halo_win, hi + halo_win)
                 smoothed = temporal_fn(ext, jnp.int32(next_emit - halo_win))
                 work_ctx = smoothed[halo_t: halo_t + ready + 2 * halo_d]
             emit(orig_ctx, work_ctx, ready)
@@ -541,7 +595,8 @@ def HAVC_main_streaming(
             # retain the window's past frames for the next chunk
             drop = max((next_emit - halo_win) - global_start, 0)
             if drop:
-                del orig_buf[:drop], work_buf[:drop]
+                orig_buf.drop(drop)
+                work_buf.drop(drop)
                 global_start += drop
 
     if source not in ("video", "device"):
@@ -581,8 +636,10 @@ def HAVC_main_streaming(
         if use_uv420 and sink != "device":
             y_host.extend(
                 (first_host if first_host is not None else batch)[:n])
-        orig_buf.extend(tuned[:n])
-        work_buf.extend(colored[:n])
+        # batch-granular appends: one device program per batch (a tail
+        # slice only when the decode came up short), not one per frame
+        orig_buf.append(tuned if n == batch_size else tuned[:n])
+        work_buf.append(colored if n == batch_size else colored[:n])
         flush(final=False)
     flush(final=True)
     _drain()
@@ -974,7 +1031,7 @@ def HAVC_restore_video_streaming(
     def _write_chunk(dev, y_u8, t):
         nonlocal written
         if sink == "device":
-            np.asarray(dev.reshape(-1)[:1])  # 1-px sync, no download
+            _sync_nodownload(dev)  # 1-px sync through a slice, no download
             written += t
             return
         host = np.asarray(dev)

@@ -96,28 +96,29 @@ def test_streaming_equals_whole_clip(tmp_path, chunk_size):
 
 
 def test_streaming_bounded_buffers(tmp_path, monkeypatch):
-    """Internal buffers must stay O(chunk + halo) regardless of length."""
+    """Internal buffers must stay O(chunk + halo) regardless of length:
+    the rolling device buffers (_FrameBuf) are bounded by chunk + window
+    halo + one decode batch, independent of the 64-frame clip length."""
     src = tmp_path / "in.mp4"
     _write_test_video(src, t=64, h=48, w=64)
     peak = {"n": 0}
 
-    orig_stack = np.stack
+    orig_append = streaming._FrameBuf.append
 
-    def spy_stack(arrays, *a, **k):
-        arrays = list(arrays) if not isinstance(arrays, np.ndarray) else arrays
-        if isinstance(arrays, list) and arrays and isinstance(arrays[0], np.ndarray):
-            peak["n"] = max(peak["n"], len(arrays))
-        return orig_stack(arrays, *a, **k)
+    def spy_append(self, batch):
+        orig_append(self, batch)
+        peak["n"] = max(peak["n"], len(self))
 
-    monkeypatch.setattr(streaming.np, "stack", spy_stack)
+    monkeypatch.setattr(streaming._FrameBuf, "append", spy_append)
     out_path = tmp_path / "out.mp4"
     n = streaming.HAVC_main_streaming(
         str(src), str(out_path), Preset="fast", ColorModel="zhang(eccv16)",
         batch_size=4, chunk_size=8,
     )
     assert n == 64
-    # halo = 3 (nframes 5 -> nh 2, +1 deflicker); ext = chunk + 2*halo = 14
-    assert peak["n"] <= 8 + 2 * 3 + 1
+    # halo = 3 (nframes 5 -> nh 2, +1 deflicker): retained window 2*3,
+    # plus the un-emitted chunk (8) and the batch just appended (4)
+    assert 0 < peak["n"] <= 8 + 2 * 3 + 4
 
 
 def test_streaming_with_bwtune_lut_equals_whole(tmp_path):
