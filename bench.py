@@ -54,7 +54,7 @@ import time
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _METRIC = "1080p_DD_pipeline_fps_per_chip"
 _T_START = time.perf_counter()
-_BUDGET_S = float(os.environ.get("HAVC_BENCH_BUDGET_S", "2400"))
+_BUDGET_S = float(os.environ.get("HAVC_BENCH_BUDGET_S", "3000"))
 
 
 def _elapsed():
@@ -278,11 +278,14 @@ def _bench_streaming_e2e(extra):
     n, dt = timed(sink="device", source="device", count=192)
     extra["streaming_compute_only_fps_1080p"] = round(n / dt, 2)
 
-    if not _over_budget(reserve_s=240):
-        n, dt = timed(pipeline_depth=1)
+    # A/B extras run at half length (per-frame rates stay comparable)
+    # and with generous reserves: in bad relay weather the deliverable-
+    # shaped restore block below outranks these legs
+    if not _over_budget(reserve_s=600):
+        n, dt = timed(pipeline_depth=1, count=128)  # 2 full 64-chunks:
         extra["e2e_streaming_fps_1080p_depth1"] = round(n / dt, 2)
-    if not _over_budget(reserve_s=180):
-        n, dt = timed(sink="null")
+    if not _over_budget(reserve_s=520):
+        n, dt = timed(sink="null", count=128)  # no tail shape compiles
         extra["streaming_nullsink_fps_1080p"] = round(n / dt, 2)
 
     # host decode alone (cv2, this 1-core host) so the directly-attached
@@ -315,7 +318,7 @@ def _bench_restore_streaming(extra):
     ref = "/root/reference/samples/sample_colored_sync.mp4"
     count = 96
     for ex_model, name in ((0, "colormnet"), (1, "deepex"), (2, "remaster")):
-        if _over_budget(reserve_s=100):
+        if _over_budget(reserve_s=180):
             extra[f"restore_streaming_{name}_skipped"] = "bench budget"
             continue
         try:
@@ -331,7 +334,13 @@ def _bench_restore_streaming(extra):
             # pipeline-only leg (download removed, still pays decode +
             # upload) — the same sink decomposition the classic
             # streaming metrics carry, so the directly-attached-chip
-            # projection is arithmetic for the exemplar path too
+            # projection is arithmetic for the exemplar path too.
+            # Skippable separately: the wall-clock number above is the
+            # deliverable; this leg is its decomposition.
+            if _over_budget(reserve_s=90):
+                extra[f"restore_streaming_{name}_deviceout_skipped"] = (
+                    "bench budget")
+                continue
             HAVC_restore_video_streaming(  # warm the 1-px sync programs
                 bw, ref, out, ex_model=ex_model, count=48, sink="device")
             t0 = time.perf_counter()
