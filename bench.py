@@ -136,6 +136,12 @@ class ChainClock:
         out = call(seed)  # warm: compile every shape in the chain
         _sync_1px(out)
         self._run(lambda x: x, seed, n_links)  # warm the glue chain
+        # warm the glue at the call's OUTPUT shape too: the timed chain
+        # runs _probe on call(x) whose shape/dtype can differ from seed
+        # (e.g. (T,H,W,2) ab out of an (T,H,W,3) rgb in) — without this
+        # a remote compile lands inside timed repeat 1 and reads as a
+        # relay stall in the *_chain_times_s artifact
+        _sync_1px(self._mix(seed, self._probe(out)))
         times = []
         for _ in range(repeats):
             t_total = self._run(call, seed, n_links)
@@ -676,7 +682,14 @@ def _run_child_subprocess(force_cpu: bool, timeout_s: float):
 def main():
     backend = _probe_backend()
     if backend is not None and backend != "cpu":
-        rec = _run_child_subprocess(force_cpu=False, timeout_s=3000.0)
+        # the child prints its JSON only at the END of run_child, so the
+        # parent timeout must exceed the child's budget by the worst
+        # single-leg overrun (budget checks only gate the START of legs;
+        # a leg admitted near the budget can run long past it on a
+        # stalled relay) — equal timeouts would forfeit every computed
+        # metric to one slow leg
+        rec = _run_child_subprocess(force_cpu=False,
+                                    timeout_s=_BUDGET_S + 900.0)
         if rec is not None:
             print(json.dumps(rec))
             return
@@ -686,6 +699,7 @@ def main():
     else:
         note_prefix = "TPU backend probe unreachable (3 attempts); "
 
+    os.environ["HAVC_BENCH_BUDGET_S"] = "1800"  # reduced-geometry child
     rec = _run_child_subprocess(force_cpu=True, timeout_s=2400.0)
     if rec is not None:
         if note_prefix and "note" in rec:

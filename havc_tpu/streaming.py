@@ -36,8 +36,9 @@ planes; when the device retunes luma (BWTune/LUT) auto falls back to full
 device-side I420 packing (1.5 B/px, OpenCV-exact — the mp4 encoder
 subsamples chroma to 4:2:0 anyway).  vs 3+3 for naive uint8 RGB that is
 a 4-8x cut in link bytes.  Downloads start asynchronously when packed and
-writes are pipelined one chunk behind the compute so host encode overlaps
-device execution.
+up to ``pipeline_depth`` (default 3) chunks stay in flight on the
+download/write path so host encode overlaps device execution
+(``pipeline_depth=1`` is the classic one-chunk-behind overlap).
 
 Reference mapping: the VapourSynth frame graph evaluates lazily with a
 bounded frame cache (SURVEY L0); this is the TPU-native equivalent of that
@@ -169,6 +170,84 @@ def _sync_nodownload(dev) -> None:
     shapes; see bench._sync_1px).  block_until_ready alone can return
     before compute completes on the axon platform (bench.py:13-20)."""
     np.asarray(dev[tuple(slice(0, 1) for _ in range(dev.ndim))])
+
+
+def _studio_y(v_u8: np.ndarray) -> np.ndarray:
+    """OpenCV's BT.601 studio-swing Y mapping of full-range luma bytes —
+    the exact integer form cv2.COLOR_RGB2YUV_I420 applies, so the host-
+    assembled Y plane matches the device I420 pack bit-for-bit."""
+    v = v_u8.astype(np.int32)
+    return ((900726 * v + (1 << 19) + (16 << 20)) >> 20).astype(np.uint8)
+
+
+class _WritePipeline:
+    """Pipelined device->host->encoder write path shared by both
+    streaming entry points.
+
+    Packed chunks queue with their async downloads already in flight;
+    pushing a chunk retires the oldest ones down to ``depth``
+    outstanding, so up to ``depth`` chunks overlap later compute and the
+    host encode (``depth=1`` is the classic one-chunk-behind overlap).
+    ``finish()`` retires everything.
+
+    ``sink``: ``"video"`` encodes via ``writer``; ``"null"`` downloads
+    but skips the encode; ``"device"`` only syncs (1-px slice fetch, no
+    download).  In uv420 mode ``y_provider(meta, n)`` supplies the
+    studio-swing Y planes (the host owns the output luma there) and
+    ``meta`` is whatever the caller queued with the chunk.
+    """
+
+    def __init__(self, sink: str, writer, depth: int, use_uv420: bool,
+                 use_i420: bool, y_provider=None):
+        self.sink = sink
+        self.writer = writer
+        self.depth = max(int(depth), 1)
+        self.use_uv420 = use_uv420
+        self.use_i420 = use_i420
+        self.y_provider = y_provider
+        self.pending: list = []
+        self.written = 0
+
+    def push(self, dev, meta, n: int) -> None:
+        if self.sink != "device":
+            try:
+                # start the device->host copy as soon as the chunk is
+                # packed: it overlaps later chunks' compute and host IO
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
+        self.pending.append((dev, meta, n))
+        self._drain(keep=self.depth)
+
+    def finish(self) -> None:
+        self._drain(keep=0)
+
+    def _drain(self, keep: int) -> None:
+        while len(self.pending) > keep:
+            self._retire(*self.pending.pop(0))
+
+    def _retire(self, dev, meta, n: int) -> None:
+        if self.sink == "device":
+            _sync_nodownload(dev)
+            self.written += n
+            return
+        import cv2
+
+        host = np.asarray(dev)
+        if self.use_uv420:
+            ystudio = self.y_provider(meta, n)
+            for i in range(n):
+                if self.writer is not None:
+                    fr = np.concatenate([ystudio[i], host[i]], axis=0)
+                    self.writer.write(
+                        cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
+                self.written += 1
+            return
+        conv = cv2.COLOR_YUV2BGR_I420 if self.use_i420 else cv2.COLOR_RGB2BGR
+        for fr in host:
+            if self.writer is not None:
+                self.writer.write(cv2.cvtColor(fr, conv))
+            self.written += 1
 
 
 def _is_gray(bgr: np.ndarray, tol: int = 3) -> bool:
@@ -457,9 +536,6 @@ def HAVC_main_streaming(
             path_out, cv2.VideoWriter_fourcc(*codec), fps, (w, h))
         if not writer.isOpened():
             raise IOError(f"cannot open video writer: {path_out}")
-    pipeline_depth = max(int(pipeline_depth), 1)
-
-    written = 0
     # rolling buffers: original LUMA planes (full res, post-BWTune) +
     # colorized work-res frames; frame 0 of the buffer is global frame
     # index `global_start`.  Buffers hold DEVICE arrays at BATCH
@@ -495,46 +571,21 @@ def HAVC_main_streaming(
             limit = 5.0 / 255.0
             corr = np.clip(0.5 * (target - cur), -limit, limit)
             cur = np.clip(cur + corr, 0.0, 1.0)
-        v = np.rint(cur * 255.0).astype(np.int32)
-        return ((900726 * v + (1 << 19) + (16 << 20)) >> 20).astype(np.uint8)
+        return _studio_y(np.rint(cur * 255.0).astype(np.uint8))
 
-    # pipelined write path: up to ``pipeline_depth`` packed device chunks
-    # stay in flight — their async downloads overlap both later chunks'
-    # compute and the host encode.  _drain(keep) retires the oldest
-    # chunks down to ``keep`` outstanding.
-    pending: list = []
+    def _y_for_chunk(start, ready):
+        # called at chunk-retire time; trims the rolling host-Y buffer,
+        # keeping one past plane for the next chunk's deflicker
+        nonlocal y_base
+        ystudio = _host_y_window(start, ready)
+        keep_from = start + ready - 1
+        if keep_from > y_base:
+            del y_host[: keep_from - y_base]
+            y_base = keep_from
+        return ystudio
 
-    def _write_chunk(dev, start, ready):
-        nonlocal written, y_base
-        if sink == "device":
-            _sync_nodownload(dev)
-            written += ready
-            return
-        host = np.asarray(dev)
-        if use_uv420:
-            ystudio = _host_y_window(start, ready)
-            for i in range(ready):
-                if writer is not None:
-                    fr = np.concatenate([ystudio[i], host[i]], axis=0)
-                    writer.write(cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
-                written += 1
-            # retain one past Y plane for the next chunk's deflicker
-            keep_from = start + ready - 1
-            if keep_from > y_base:
-                del y_host[: keep_from - y_base]
-                y_base = keep_from
-            return
-        for fr in host:
-            if writer is not None:
-                if use_i420:
-                    writer.write(cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
-                else:
-                    writer.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
-            written += 1
-
-    def _drain(keep: int = 0):
-        while len(pending) > keep:
-            _write_chunk(*pending.pop(0))
+    pipe = _WritePipeline(sink, writer, pipeline_depth, use_uv420,
+                          use_i420, y_provider=_y_for_chunk)
 
     def emit(orig_ctx, work_ctx, ready):
         """orig/work with halo_d frames of context each side; the restore
@@ -550,16 +601,7 @@ def HAVC_main_streaming(
             dev = to_i420(out)
         else:
             dev = to_u8(out)
-        if sink != "device":
-            try:
-                # start the device->host copy as soon as the chunk is
-                # packed: it overlaps later chunks' compute and host IO
-                dev.copy_to_host_async()
-            except AttributeError:
-                pass
-        pending.append((dev, next_emit, ready))
-        # retire the oldest chunk(s) only once the pipeline is full
-        _drain(keep=pipeline_depth - 1)
+        pipe.push(dev, next_emit, ready)
 
     def flush(final: bool):
         """Emit every frame whose temporal window is complete (all frames
@@ -609,9 +651,17 @@ def HAVC_main_streaming(
         if count is None:
             raise ValueError(
                 "HAVC_main_streaming: source='device' requires count")
+        if int(count) < batch_size:
+            raise ValueError(
+                "HAVC_main_streaming: source='device' processes count "
+                "rounded DOWN to a batch multiple — count must be >= "
+                f"batch_size ({batch_size}), got {count}")
         first_host = next(stream_batches(
             path_in, batch_size, prefetch=1, count=batch_size,
-            gray=use_gray))
+            gray=use_gray), None)
+        if first_host is None:
+            raise IOError(
+                f"HAVC_main_streaming: no frames decoded from {path_in}")
         if first_host.shape[0] < batch_size:
             first_host = np.concatenate(
                 [first_host,
@@ -619,7 +669,7 @@ def HAVC_main_streaming(
                            batch_size - first_host.shape[0], axis=0)])
         dev0 = jnp.asarray(first_host)
         dev0.block_until_ready()
-        batches = (dev0 for _ in range(max(int(count) // batch_size, 1)))
+        batches = (dev0 for _ in range(int(count) // batch_size))
     else:
         batches = stream_batches(path_in, batch_size, prefetch=4,
                                  count=count, gray=use_gray)
@@ -642,10 +692,10 @@ def HAVC_main_streaming(
         work_buf.append(colored if n == batch_size else colored[:n])
         flush(final=False)
     flush(final=True)
-    _drain()
+    pipe.finish()
     if writer is not None:
         writer.release()
-    return written
+    return pipe.written
 
 
 
@@ -859,7 +909,6 @@ def HAVC_restore_video_streaming(
             path_out, cv2.VideoWriter_fourcc(*codec), fps, (w, h))
         if not writer.isOpened():
             raise IOError(f"cannot open video writer: {path_out}")
-    pipeline_depth = max(int(pipeline_depth), 1)
 
     def read_chunk(cap, n, gray=False):
         # uint8 at the transfer boundary: 1 byte/channel crosses the link,
@@ -1021,43 +1070,12 @@ def HAVC_restore_video_streaming(
             ref_base = ws
         return colored
 
-    written = 0
-
-    # pipelined write path (same design as HAVC_main_streaming): packed
-    # chunks queue with their async downloads in flight; the oldest is
-    # retired once ``pipeline_depth`` are outstanding
-    pending: list = []
-
-    def _write_chunk(dev, y_u8, t):
-        nonlocal written
-        if sink == "device":
-            _sync_nodownload(dev)  # 1-px sync through a slice, no download
-            written += t
-            return
-        host = np.asarray(dev)
-        if use_uv420:
-            # chroma-only download; host Y = studio-swing map of its own
-            # decoded gray bytes (the output luma IS the input luma here)
-            v = y_u8.astype(np.int32)
-            ystudio = ((900726 * v + (1 << 19) + (16 << 20)) >> 20
-                       ).astype(np.uint8)
-            for i in range(t):
-                if writer is not None:
-                    fr = np.concatenate([ystudio[i], host[i]], axis=0)
-                    writer.write(cv2.cvtColor(fr, cv2.COLOR_YUV2BGR_I420))
-                written += 1
-            return
-        for u8 in host:
-            if writer is not None:
-                writer.write(cv2.cvtColor(
-                    u8,
-                    cv2.COLOR_YUV2BGR_I420 if use_i420 else cv2.COLOR_RGB2BGR,
-                ))
-            written += 1
-
-    def _drain(keep: int = 0):
-        while len(pending) > keep:
-            _write_chunk(*pending.pop(0))
+    # pipelined write path shared with HAVC_main_streaming; in uv420
+    # mode the host Y is the studio-swing map of its own decoded gray
+    # bytes (the output luma IS the input luma here), queued per chunk
+    pipe = _WritePipeline(sink, writer, pipeline_depth, use_uv420,
+                          use_i420,
+                          y_provider=lambda y_u8, t: _studio_y(y_u8))
 
     emitted = 0  # frames handed to the write pipeline
     frame0 = 0  # global index of the next input frame
@@ -1113,20 +1131,14 @@ def HAVC_restore_video_streaming(
             dev = to_i420(full)
         else:
             dev = to_u8(full)
-        if sink != "device":
-            try:
-                dev.copy_to_host_async()
-            except AttributeError:
-                pass
-        pending.append((dev, bw_u8 if use_uv420 else None, t))
-        _drain(keep=pipeline_depth - 1)
+        pipe.push(dev, bw_u8 if use_uv420 else None, t)
         emitted += t
         frame0 += t
         if t < n:
             break
-    _drain()
+    pipe.finish()
     cap_in.release()
     cap_ref.release()
     if writer is not None:
         writer.release()
-    return written
+    return pipe.written

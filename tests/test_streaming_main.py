@@ -335,6 +335,9 @@ def test_streaming_device_source(tmp_path):
     with pytest.raises(ValueError):
         streaming.HAVC_main_streaming(
             str(src), str(tmp_path / "x.mp4"), source="device")
+    with pytest.raises(ValueError):  # count < batch would round to zero
+        streaming.HAVC_main_streaming(
+            str(src), str(tmp_path / "x.mp4"), source="device", count=4)
     with pytest.raises(ValueError):
         streaming.HAVC_main_streaming(
             str(src), str(tmp_path / "x.mp4"), source="bogus")
