@@ -54,7 +54,7 @@ import time
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _METRIC = "1080p_DD_pipeline_fps_per_chip"
 _T_START = time.perf_counter()
-_BUDGET_S = float(os.environ.get("HAVC_BENCH_BUDGET_S", "3000"))
+_BUDGET_S = float(os.environ.get("HAVC_BENCH_BUDGET_S", "3600"))
 
 
 def _elapsed():
@@ -322,7 +322,11 @@ def _bench_restore_streaming(extra):
 
     bw = "/root/reference/samples/sample_bw.mp4"
     ref = "/root/reference/samples/sample_colored_sync.mp4"
-    count = 96
+    # 64 = two full 32-frame restore chunks (no tail shape beyond the
+    # warm pass); short enough that all three engines fit the budget
+    # even in bad relay weather (r5: 96-frame runs at 4.7-6.4 fps plus
+    # per-engine compiles budget-skipped remaster twice)
+    count = 64
     for ex_model, name in ((0, "colormnet"), (1, "deepex"), (2, "remaster")):
         if _over_budget(reserve_s=180):
             extra[f"restore_streaming_{name}_skipped"] = "bench budget"
