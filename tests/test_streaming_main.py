@@ -381,6 +381,40 @@ def test_restore_streaming_ref_geometry_and_sinks(tmp_path):
         assert not out_s.exists()
 
 
+def test_write_pipeline_depth_semantics():
+    """pipeline_depth counts chunks left in flight AFTER the current one
+    is queued: depth=1 is one-chunk-behind (the just-pushed chunk stays
+    pending, the previous retires), depth=3 holds three.  Regression for
+    the r5 off-by-one where depth=1 drained the just-pushed chunk
+    synchronously (zero overlap)."""
+    retired = []
+
+    class _Spy(streaming._WritePipeline):
+        def _retire(self, dev, meta, n):
+            retired.append(meta)
+            super()._retire(dev, meta, n)
+
+    chunk = jnp.zeros((2, 4, 4), jnp.uint8)
+
+    p1 = _Spy("device", None, 1, False, False)
+    p1.push(chunk, "a", 2)
+    assert retired == []          # one chunk stays in flight
+    p1.push(chunk, "b", 2)
+    assert retired == ["a"]       # previous retires, current pends
+    p1.finish()
+    assert retired == ["a", "b"]
+    assert p1.written == 4
+
+    retired.clear()
+    p3 = _Spy("device", None, 3, False, False)
+    for m in "abcd":
+        p3.push(chunk, m, 2)
+    assert retired == ["a"]       # three stay outstanding
+    p3.finish()
+    assert retired == ["a", "b", "c", "d"]
+    assert p3.written == 8
+
+
 def test_transfer_mode_resolution():
     """The pure transfer gate: uv420 only when the host owns the output
     luma (even dims + gray upload + no device luma retune); explicit
